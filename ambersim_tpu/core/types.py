@@ -1,0 +1,406 @@
+"""Model/Data pytrees and enums.
+
+Mirrors the mjModel/mjData split the reference relies on everywhere
+(reference: ambersim/rl/base.py:50-52, ambersim/trajopt/shooting.py:114):
+``Model`` is the static scene (device-resident, vmap-invariant), ``Data`` is
+per-env state (vmapped leading axis).
+
+TPU-first design decision: topology (tree structure, joint/geom types,
+addresses) lives in a content-hashed, immutable :class:`Skeleton` stored as
+pytree *aux data*, so it is concrete at trace time and drives unrolled
+compile-time scheduling (tree levels, static contact pair lists). Numeric
+parameters (masses, inertias, gains, ...) are traced jnp leaves, so they can
+be swept/vmapped for domain randomization without recompilation.
+
+Enum integer values match MuJoCo's so option overrides written against the
+reference API (e.g. solver=2 Newton, integrator=0 Euler as in reference
+tests/trajopt/test_predictive_sampler.py:26-30) behave identically.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+from flax import struct
+
+
+class DisableBit(enum.IntFlag):
+    """Option flags disabling pipeline stages (MuJoCo-compatible values)."""
+
+    CONSTRAINT = 1 << 0
+    EQUALITY = 1 << 1
+    FRICTIONLOSS = 1 << 2
+    LIMIT = 1 << 3
+    CONTACT = 1 << 4
+    PASSIVE = 1 << 5
+    GRAVITY = 1 << 6
+    CLAMPCTRL = 1 << 7
+    WARMSTART = 1 << 8
+    FILTERPARENT = 1 << 9
+    ACTUATION = 1 << 10
+    REFSAFE = 1 << 11
+    SENSOR = 1 << 12
+    EULERDAMP = 1 << 14
+
+
+class JointType(enum.IntEnum):
+    FREE = 0
+    BALL = 1
+    SLIDE = 2
+    HINGE = 3
+
+    @property
+    def dof_width(self) -> int:
+        return {0: 6, 1: 3, 2: 1, 3: 1}[int(self)]
+
+    @property
+    def qpos_width(self) -> int:
+        return {0: 7, 1: 4, 2: 1, 3: 1}[int(self)]
+
+
+class GeomType(enum.IntEnum):
+    PLANE = 0
+    HFIELD = 1
+    SPHERE = 2
+    CAPSULE = 3
+    ELLIPSOID = 4
+    CYLINDER = 5
+    BOX = 6
+    MESH = 7
+
+
+class SolverType(enum.IntEnum):
+    PGS = 0
+    CG = 1
+    NEWTON = 2
+
+
+class IntegratorType(enum.IntEnum):
+    EULER = 0
+    RK4 = 1
+    IMPLICIT = 2
+    IMPLICITFAST = 3
+
+
+class ConeType(enum.IntEnum):
+    PYRAMIDAL = 0
+    ELLIPTIC = 1
+
+
+class EqType(enum.IntEnum):
+    CONNECT = 0
+    WELD = 1
+    JOINT = 2
+    TENDON = 3
+
+
+class TrnType(enum.IntEnum):
+    JOINT = 0
+    JOINTINPARENT = 1
+    SLIDERCRANK = 2
+    TENDON = 3
+    SITE = 4
+    BODY = 5
+
+
+class DynType(enum.IntEnum):
+    NONE = 0
+    INTEGRATOR = 1
+    FILTER = 2
+    FILTEREXACT = 3
+
+
+class GainType(enum.IntEnum):
+    FIXED = 0
+    AFFINE = 1
+
+
+class BiasType(enum.IntEnum):
+    NONE = 0
+    AFFINE = 1
+
+
+def _freeze(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a)
+    a.setflags(write=False)
+    return a
+
+
+class Skeleton:
+    """Immutable, content-hashed structural description of a scene.
+
+    Stored as pytree aux data on :class:`Model`, so every field is concrete
+    (numpy / python ints) during tracing and can drive compile-time schedules.
+    """
+
+    def __init__(self, **fields: Any):
+        self._fields = {}
+        for k, v in fields.items():
+            if isinstance(v, np.ndarray):
+                v = _freeze(v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            self._fields[k] = v
+        object.__setattr__(self, "_hash", self._compute_hash())
+
+    def _compute_hash(self) -> int:
+        items = []
+        for k in sorted(self._fields):
+            v = self._fields[k]
+            if isinstance(v, np.ndarray):
+                items.append((k, v.shape, v.dtype.str, v.tobytes()))
+            else:
+                items.append((k, v))
+        return hash(tuple(items))
+
+    def __getattr__(self, name: str):
+        try:
+            return self._fields[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+        else:  # pragma: no cover
+            raise AttributeError("Skeleton is immutable")
+
+    def replace(self, **updates: Any) -> "Skeleton":
+        fields = dict(self._fields)
+        fields.update(updates)
+        return Skeleton(**fields)
+
+    def __hash__(self) -> int:
+        return self._hash
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Skeleton):
+            return NotImplemented
+        if self._hash != other._hash:
+            return False
+        if set(self._fields) != set(other._fields):
+            return False
+        for k, v in self._fields.items():
+            w = other._fields[k]
+            if isinstance(v, np.ndarray):
+                if not (isinstance(w, np.ndarray) and v.shape == w.shape and (v == w).all()):
+                    return False
+            elif v != w:
+                return False
+        return True
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Skeleton({', '.join(sorted(self._fields))})"
+
+
+@struct.dataclass
+class Option:
+    """Physics options (cf. mjOption). Integer/control-flow fields are static."""
+
+    timestep: jax.Array
+    gravity: jax.Array  # (3,)
+    wind: jax.Array  # (3,)
+    density: jax.Array
+    viscosity: jax.Array
+    impratio: jax.Array
+    tolerance: jax.Array
+    # static (affect trace structure / loop counts)
+    integrator: int = struct.field(pytree_node=False, default=int(IntegratorType.EULER))
+    solver: int = struct.field(pytree_node=False, default=int(SolverType.NEWTON))
+    cone: int = struct.field(pytree_node=False, default=int(ConeType.PYRAMIDAL))
+    iterations: int = struct.field(pytree_node=False, default=100)
+    ls_iterations: int = struct.field(pytree_node=False, default=50)
+    disableflags: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class Contact:
+    """Fixed-capacity contact set (per env). Slot-static geom pairing lives on
+    the skeleton (pair_geom1/pair_geom2); only numeric fields are traced."""
+
+    dist: jax.Array  # (ncon,)
+    pos: jax.Array  # (ncon, 3)
+    frame: jax.Array  # (ncon, 3, 3)  rows: normal, tangent1, tangent2
+    friction: jax.Array  # (ncon, 5)
+    solref: jax.Array  # (ncon, 2)
+    solimp: jax.Array  # (ncon, 5)
+    includemargin: jax.Array  # (ncon,)
+
+
+@struct.dataclass
+class Model:
+    """Static scene description (device-resident pytree)."""
+
+    skel: Skeleton = struct.field(pytree_node=False)
+    opt: Option
+
+    # reference configuration
+    qpos0: jax.Array  # (nq,)
+    qpos_spring: jax.Array  # (nq,)
+
+    # bodies
+    body_pos: jax.Array  # (nbody, 3)
+    body_quat: jax.Array  # (nbody, 4)
+    body_ipos: jax.Array  # (nbody, 3)
+    body_iquat: jax.Array  # (nbody, 4)
+    body_mass: jax.Array  # (nbody,)
+    body_inertia: jax.Array  # (nbody, 3) diagonal in inertial frame
+    body_invweight0: jax.Array  # (nbody, 2)
+    body_gravcomp: jax.Array  # (nbody,)
+
+    # joints
+    jnt_pos: jax.Array  # (njnt, 3)
+    jnt_axis: jax.Array  # (njnt, 3)
+    jnt_range: jax.Array  # (njnt, 2)
+    jnt_stiffness: jax.Array  # (njnt,)
+    jnt_solref: jax.Array  # (njnt, 2)
+    jnt_solimp: jax.Array  # (njnt, 5)
+    jnt_margin: jax.Array  # (njnt,)
+
+    # dofs
+    dof_armature: jax.Array  # (nv,)
+    dof_damping: jax.Array  # (nv,)
+    dof_frictionloss: jax.Array  # (nv,)
+    dof_invweight0: jax.Array  # (nv,)
+    dof_solref: jax.Array  # (nv, 2)
+    dof_solimp: jax.Array  # (nv, 5)
+
+    # geoms
+    geom_pos: jax.Array  # (ngeom, 3)
+    geom_quat: jax.Array  # (ngeom, 4)
+    geom_size: jax.Array  # (ngeom, 3)
+    geom_friction: jax.Array  # (ngeom, 3)
+    geom_solref: jax.Array  # (ngeom, 2)
+    geom_solimp: jax.Array  # (ngeom, 5)
+    geom_solmix: jax.Array  # (ngeom,)
+    geom_priority: jax.Array  # (ngeom,)
+    geom_margin: jax.Array  # (ngeom,)
+    geom_gap: jax.Array  # (ngeom,)
+    geom_rbound: jax.Array  # (ngeom,)
+
+    # actuators
+    actuator_gear: jax.Array  # (nu, 6)
+    actuator_ctrlrange: jax.Array  # (nu, 2)
+    actuator_forcerange: jax.Array  # (nu, 2)
+    actuator_gainprm: jax.Array  # (nu, 9)
+    actuator_biasprm: jax.Array  # (nu, 9)
+    actuator_dynprm: jax.Array  # (nu, 9)
+
+    # equality constraints
+    eq_data: jax.Array  # (neq, 11)
+    eq_solref: jax.Array  # (neq, 2)
+    eq_solimp: jax.Array  # (neq, 5)
+
+    # explicit <contact><pair> overrides (indexed via skel.pair_explicit)
+    pair_friction: jax.Array  # (npairexp, 5)
+    pair_solref: jax.Array  # (npairexp, 2)
+    pair_solimp: jax.Array  # (npairexp, 5)
+    pair_margin: jax.Array  # (npairexp,)
+    pair_gap: jax.Array  # (npairexp,)
+
+    # mesh data (padded convex hulls), empty placeholder until meshes land
+    mesh_vert: jax.Array  # (nmeshvert_total, 3)
+
+    # ---- convenience pass-throughs to the static skeleton ----
+    @property
+    def nq(self) -> int:
+        return self.skel.nq
+
+    @property
+    def nv(self) -> int:
+        return self.skel.nv
+
+    @property
+    def nu(self) -> int:
+        return self.skel.nu
+
+    @property
+    def na(self) -> int:
+        return self.skel.na
+
+    @property
+    def nbody(self) -> int:
+        return self.skel.nbody
+
+    @property
+    def njnt(self) -> int:
+        return self.skel.njnt
+
+    @property
+    def ngeom(self) -> int:
+        return self.skel.ngeom
+
+    @property
+    def neq(self) -> int:
+        return self.skel.neq
+
+
+@struct.dataclass
+class Data:
+    """Per-env dynamic state + derived quantities (vmapped leading axis)."""
+
+    # inputs / state
+    time: jax.Array
+    qpos: jax.Array  # (nq,)
+    qvel: jax.Array  # (nv,)
+    act: jax.Array  # (na,)
+    ctrl: jax.Array  # (nu,)
+    qfrc_applied: jax.Array  # (nv,)
+    xfrc_applied: jax.Array  # (nbody, 6) — (torque, force) at body com, world
+    qacc_warmstart: jax.Array  # (nv,)
+
+    # kinematics
+    xpos: jax.Array  # (nbody, 3)
+    xquat: jax.Array  # (nbody, 4)
+    xipos: jax.Array  # (nbody, 3)
+    ximat: jax.Array  # (nbody, 3, 3)
+    xanchor: jax.Array  # (njnt, 3)
+    xaxis: jax.Array  # (njnt, 3)
+    geom_xpos: jax.Array  # (ngeom, 3)
+    geom_xmat: jax.Array  # (ngeom, 3, 3)
+
+    # com-based quantities
+    subtree_com: jax.Array  # (nbody, 3)
+    cinert: jax.Array  # (nbody, 6, 6) spatial inertia in com frame
+    cdof: jax.Array  # (nv, 6)
+    cdof_dot: jax.Array  # (nv, 6)
+    cvel: jax.Array  # (nbody, 6)
+
+    # mass matrix
+    qM: jax.Array  # (nv, nv) dense
+    qLD: jax.Array  # (nv, nv) Cholesky factor of qM (lower)
+
+    # forces
+    qfrc_bias: jax.Array  # (nv,)
+    qfrc_passive: jax.Array  # (nv,)
+    qfrc_spring: jax.Array  # (nv,)
+    qfrc_damper: jax.Array  # (nv,)
+    actuator_length: jax.Array  # (nu,)
+    actuator_velocity: jax.Array  # (nu,)
+    actuator_force: jax.Array  # (nu,)
+    qfrc_actuator: jax.Array  # (nv,)
+    qfrc_smooth: jax.Array  # (nv,)
+    qacc_smooth: jax.Array  # (nv,)
+    qfrc_constraint: jax.Array  # (nv,)
+    qacc: jax.Array  # (nv,)
+
+    # constraints
+    contact: Contact
+    efc_J: jax.Array  # (nefc, nv)
+    efc_D: jax.Array  # (nefc,)
+    efc_aref: jax.Array  # (nefc,)
+    efc_pos: jax.Array  # (nefc,)
+    efc_margin: jax.Array  # (nefc,)
+    efc_frictionloss: jax.Array  # (nefc,)
+    efc_active: jax.Array  # (nefc,) bool — row participates this step
+    efc_force: jax.Array  # (nefc,)
+
+
+def tree_dtype(x) -> Any:  # pragma: no cover - debugging helper
+    return jax.tree.map(lambda a: (a.shape, a.dtype), x)
+
+
+SkeletonFields = Tuple[str, ...]

@@ -1,0 +1,34 @@
+"""Top-level forward dynamics and step (the hot loop of the framework;
+role of mjx.forward/mjx.step at reference ambersim/rl/base.py:86,93)."""
+
+from __future__ import annotations
+
+from ambersim_tpu.core.types import Data, DisableBit, Model
+from ambersim_tpu.engine import collision_driver, constraint, integrate, smooth, solver
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+    d = smooth.fwd_position_smooth(m, d)
+    if not (m.opt.disableflags & DisableBit.CONSTRAINT):
+        d = collision_driver.collision(m, d)
+        d = constraint.make_constraint(m, d)
+    return d
+
+
+def forward(m: Model, d: Data) -> Data:
+    """Full forward dynamics: populate qacc without integrating."""
+    d = fwd_position(m, d)
+    d = smooth.fwd_velocity(m, d)
+    d = smooth.fwd_actuation(m, d)
+    d = smooth.fwd_acceleration(m, d)
+    if m.opt.disableflags & DisableBit.CONSTRAINT or m.skel.nefc == 0:
+        d = d.replace(qacc=d.qacc_smooth)
+    else:
+        d = solver.solve(m, d)
+    return d
+
+
+def step(m: Model, d: Data) -> Data:
+    """One physics step: forward dynamics + integration."""
+    d = forward(m, d)
+    return integrate.euler(m, d)

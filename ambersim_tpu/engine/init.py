@@ -1,0 +1,69 @@
+"""Data allocation (mirrors mjx.make_data used at reference
+ambersim/utils/io_utils.py:226, ambersim/trajopt/shooting.py:34)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ambersim_tpu.core.types import Contact, Data, Model
+
+
+def make_data(m: Model, dtype=jnp.float32) -> Data:
+    """Allocate a fresh single-env Data at qpos0, zero velocity."""
+    s = m.skel
+    z = lambda *shape: jnp.zeros(shape, dtype)  # noqa: E731
+    contact = Contact(
+        dist=jnp.full((s.ncon,), 1e10, dtype),
+        pos=z(s.ncon, 3),
+        frame=jnp.tile(jnp.eye(3, dtype=dtype), (s.ncon, 1, 1)),
+        friction=z(s.ncon, 5),
+        solref=z(s.ncon, 2),
+        solimp=z(s.ncon, 5),
+        includemargin=z(s.ncon),
+    )
+    return Data(
+        time=jnp.zeros((), dtype),
+        qpos=jnp.asarray(m.qpos0, dtype),
+        qvel=z(s.nv),
+        act=z(s.na),
+        ctrl=z(s.nu),
+        qfrc_applied=z(s.nv),
+        xfrc_applied=z(s.nbody, 6),
+        qacc_warmstart=z(s.nv),
+        xpos=z(s.nbody, 3),
+        xquat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (s.nbody, 1)),
+        xipos=z(s.nbody, 3),
+        ximat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nbody, 1, 1)),
+        xanchor=z(s.njnt, 3),
+        xaxis=z(s.njnt, 3),
+        geom_xpos=z(s.ngeom, 3),
+        geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.ngeom, 1, 1)),
+        subtree_com=z(s.nbody, 3),
+        cinert=z(s.nbody, 6, 6),
+        cdof=z(s.nv, 6),
+        cdof_dot=z(s.nv, 6),
+        cvel=z(s.nbody, 6),
+        qM=z(s.nv, s.nv),
+        qLD=z(s.nv, s.nv),
+        qfrc_bias=z(s.nv),
+        qfrc_passive=z(s.nv),
+        qfrc_spring=z(s.nv),
+        qfrc_damper=z(s.nv),
+        actuator_length=z(s.nu),
+        actuator_velocity=z(s.nu),
+        actuator_force=z(s.nu),
+        qfrc_actuator=z(s.nv),
+        qfrc_smooth=z(s.nv),
+        qacc_smooth=z(s.nv),
+        qfrc_constraint=z(s.nv),
+        qacc=z(s.nv),
+        contact=contact,
+        efc_J=z(s.nefc, s.nv),
+        efc_D=z(s.nefc),
+        efc_aref=z(s.nefc),
+        efc_pos=z(s.nefc),
+        efc_margin=z(s.nefc),
+        efc_frictionloss=z(s.nefc),
+        efc_active=jnp.zeros((s.nefc,), bool),
+        efc_force=z(s.nefc),
+    )

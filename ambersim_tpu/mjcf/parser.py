@@ -1,0 +1,345 @@
+"""MJCF XML parser: file/string -> ModelSpec (host-side, numpy only).
+
+Implements the subset of MJCF semantics the framework's models and the
+reference's models exercise (reference models: ambersim/models/pendulum/*.xml,
+ambersim/models/barrett_hand/bh280.xml): <include>, nested <default> classes
+with childclass inheritance, <option> + <flag>, <compiler> units
+(angle=degree default, eulerseq), body trees with joint/freejoint/geom/site/
+inertial, <actuator> (motor/position/velocity/general), <equality>
+(joint/connect/weld), <contact> (pair/exclude), <asset><mesh>.
+
+The parser resolves defaults and units; numeric assembly happens in
+compiler.py.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+from xml.etree import ElementTree as ET
+
+import numpy as np
+
+# Elements whose attributes participate in the default-class mechanism.
+_DEFAULT_KINDS = ("joint", "geom", "site", "motor", "position", "velocity", "general", "equality", "mesh", "pair")
+
+
+@dataclasses.dataclass
+class ElemSpec:
+    """One parsed element: tag kind + fully-resolved attribute dict."""
+
+    kind: str
+    attrib: Dict[str, str]
+
+
+@dataclasses.dataclass
+class BodySpec:
+    name: str
+    attrib: Dict[str, str]
+    parent: int  # index into ModelSpec.bodies
+    childclass: str
+    inertial: Optional[Dict[str, str]] = None
+    joints: List[ElemSpec] = dataclasses.field(default_factory=list)
+    geoms: List[ElemSpec] = dataclasses.field(default_factory=list)
+    sites: List[ElemSpec] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    model_name: str = "model"
+    compiler: Dict[str, str] = dataclasses.field(default_factory=dict)
+    option: Dict[str, str] = dataclasses.field(default_factory=dict)
+    flags: Dict[str, str] = dataclasses.field(default_factory=dict)
+    bodies: List[BodySpec] = dataclasses.field(default_factory=list)
+    actuators: List[ElemSpec] = dataclasses.field(default_factory=list)
+    equalities: List[ElemSpec] = dataclasses.field(default_factory=list)
+    pairs: List[ElemSpec] = dataclasses.field(default_factory=list)
+    excludes: List[ElemSpec] = dataclasses.field(default_factory=list)
+    meshes: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
+    base_dir: str = "."
+
+    def degrees(self) -> bool:
+        return self.compiler.get("angle", "degree") == "degree"
+
+
+class _Defaults:
+    """Nested default classes: class name -> {kind: attrib dict}."""
+
+    def __init__(self):
+        self.classes: Dict[str, Dict[str, Dict[str, str]]] = {"main": {k: {} for k in _DEFAULT_KINDS}}
+
+    def add_tree(self, elem: ET.Element, parent_class: str = "main"):
+        name = elem.get("class", "main" if parent_class == "main" else None)
+        if name is None:
+            raise ValueError("nested <default> must have a class name")
+        base = copy.deepcopy(self.classes[parent_class])
+        for child in elem:
+            if child.tag == "default":
+                continue
+            if child.tag in _DEFAULT_KINDS:
+                base.setdefault(child.tag, {}).update(child.attrib)
+        self.classes[name] = base
+        for child in elem:
+            if child.tag == "default":
+                self.add_tree(child, name)
+
+    def resolve(self, kind: str, attrib: Dict[str, str], cls: str) -> Dict[str, str]:
+        out = dict(self.classes.get(cls, self.classes["main"]).get(kind, {}))
+        out.update(attrib)
+        out.pop("class", None)
+        return out
+
+
+def _expand_includes(elem: ET.Element, base_dir: str) -> None:
+    """Recursively splice <include file=.../> children in place
+    (reference exercises this via models/pendulum/scene.xml:3)."""
+    i = 0
+    children = list(elem)
+    for child in children:
+        if child.tag == "include":
+            path = os.path.join(base_dir, child.attrib["file"])
+            sub = ET.parse(path).getroot()
+            _expand_includes(sub, os.path.dirname(path))
+            idx = list(elem).index(child)
+            elem.remove(child)
+            # splice the included <mujoco> root's children at the include point;
+            # sections with the same tag merge naturally downstream.
+            for j, sub_child in enumerate(sub):
+                elem.insert(idx + j, sub_child)
+        else:
+            _expand_includes(child, base_dir)
+        i += 1
+
+
+def _parse_body(
+    elem: ET.Element,
+    parent: int,
+    childclass: str,
+    defaults: _Defaults,
+    spec: ModelSpec,
+) -> None:
+    body = BodySpec(
+        name=elem.get("name", f"body{len(spec.bodies)}"),
+        attrib=dict(elem.attrib),
+        parent=parent,
+        childclass=elem.get("childclass", childclass),
+    )
+    spec.bodies.append(body)
+    my_index = len(spec.bodies) - 1
+    cls = body.childclass
+    for child in elem:
+        tag = child.tag
+        if tag == "inertial":
+            body.inertial = dict(child.attrib)
+        elif tag == "joint":
+            body.joints.append(ElemSpec("joint", defaults.resolve("joint", child.attrib, child.get("class", cls))))
+        elif tag == "freejoint":
+            attrib = {"type": "free"}
+            if "name" in child.attrib:
+                attrib["name"] = child.attrib["name"]
+            body.joints.append(ElemSpec("joint", attrib))
+        elif tag == "geom":
+            body.geoms.append(ElemSpec("geom", defaults.resolve("geom", child.attrib, child.get("class", cls))))
+        elif tag == "site":
+            body.sites.append(ElemSpec("site", defaults.resolve("site", child.attrib, child.get("class", cls))))
+        elif tag == "body":
+            _parse_body(child, my_index, body.childclass, defaults, spec)
+        # cameras/lights are render-only: parsed over, no physics effect
+
+
+def parse_mjcf_string(xml: str, base_dir: str = ".") -> ModelSpec:
+    root = ET.fromstring(xml)
+    return _parse_root(root, base_dir)
+
+
+def parse_mjcf(path: str) -> ModelSpec:
+    path = str(path)
+    root = ET.parse(path).getroot()
+    return _parse_root(root, os.path.dirname(os.path.abspath(path)))
+
+
+def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
+    if root.tag != "mujoco":
+        raise ValueError(f"expected <mujoco> root, got <{root.tag}>")
+    _expand_includes(root, base_dir)
+
+    spec = ModelSpec(model_name=root.get("model", "model"), base_dir=base_dir)
+    defaults = _Defaults()
+
+    # first pass: compiler/option/defaults/assets (sections may repeat after include splicing)
+    for sec in root:
+        if sec.tag == "compiler":
+            spec.compiler.update(sec.attrib)
+        elif sec.tag == "option":
+            spec.option.update(sec.attrib)
+            for sub in sec:
+                if sub.tag == "flag":
+                    spec.flags.update(sub.attrib)
+        elif sec.tag == "default":
+            defaults.add_tree(sec)
+        elif sec.tag == "asset":
+            for sub in sec:
+                if sub.tag == "mesh":
+                    attrib = defaults.resolve("mesh", sub.attrib, sub.get("class", "main"))
+                    name = attrib.get("name") or os.path.splitext(os.path.basename(attrib["file"]))[0]
+                    spec.meshes[name] = attrib
+
+    # worldbody: body index 0 is the world
+    world = BodySpec(name="world", attrib={}, parent=-1, childclass="main")
+    spec.bodies.append(world)
+    for sec in root:
+        if sec.tag == "worldbody":
+            for child in sec:
+                if child.tag == "body":
+                    _parse_body(child, 0, "main", defaults, spec)
+                elif child.tag == "geom":
+                    world.geoms.append(
+                        ElemSpec("geom", defaults.resolve("geom", child.attrib, child.get("class", "main")))
+                    )
+                elif child.tag == "site":
+                    world.sites.append(
+                        ElemSpec("site", defaults.resolve("site", child.attrib, child.get("class", "main")))
+                    )
+
+    for sec in root:
+        if sec.tag == "actuator":
+            for child in sec:
+                kind = child.tag  # motor | position | velocity | general
+                spec.actuators.append(ElemSpec(kind, defaults.resolve(kind, child.attrib, child.get("class", "main"))))
+        elif sec.tag == "equality":
+            for child in sec:
+                spec.equalities.append(
+                    ElemSpec(child.tag, defaults.resolve("equality", child.attrib, child.get("class", "main")))
+                )
+        elif sec.tag == "contact":
+            for child in sec:
+                if child.tag == "pair":
+                    spec.pairs.append(
+                        ElemSpec("pair", defaults.resolve("pair", child.attrib, child.get("class", "main")))
+                    )
+                elif child.tag == "exclude":
+                    spec.excludes.append(ElemSpec("exclude", dict(child.attrib)))
+
+    return spec
+
+
+def parse_vec(s: Optional[str], size: int, default: Optional[np.ndarray] = None) -> np.ndarray:
+    if s is None:
+        if default is None:
+            return np.zeros(size)
+        return np.asarray(default, dtype=np.float64)
+    v = np.fromstring(s, sep=" ", dtype=np.float64)
+    if v.size == size:
+        return v
+    # MJCF allows short vectors (e.g. geom size "0.03"); pad with default/zeros
+    out = np.zeros(size) if default is None else np.array(default, dtype=np.float64)
+    out[: v.size] = v[:size] if v.size > size else v
+    return out
+
+
+def parse_float(s: Optional[str], default: float) -> float:
+    return default if s is None else float(s)
+
+
+def parse_int(s: Optional[str], default: int) -> int:
+    return default if s is None else int(s)
+
+
+def parse_bool(s: Optional[str], default: bool) -> bool:
+    if s is None:
+        return default
+    return s.lower() in ("true", "1")
+
+
+def orientation_to_quat(attrib: Dict[str, str], degrees: bool, eulerseq: str = "xyz") -> np.ndarray:
+    """Resolve MJCF orientation attributes (quat/euler/axisangle/zaxis/xyaxes) to wxyz quat."""
+    if "quat" in attrib:
+        q = parse_vec(attrib["quat"], 4, np.array([1.0, 0, 0, 0]))
+        return q / np.linalg.norm(q)
+    if "euler" in attrib:
+        ang = parse_vec(attrib["euler"], 3)
+        if degrees:
+            ang = np.deg2rad(ang)
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+        # MuJoCo composes euler rotations about moving axes in eulerseq order
+        for axis_name, a in zip(eulerseq, ang):
+            axis = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1]}[axis_name.lower()]
+            q = _np_mul_quat(q, _np_axis_angle(np.array(axis, dtype=np.float64), a))
+        return q
+    if "axisangle" in attrib:
+        aa = parse_vec(attrib["axisangle"], 4)
+        angle = np.deg2rad(aa[3]) if degrees else aa[3]
+        axis = aa[:3] / max(np.linalg.norm(aa[:3]), 1e-15)
+        return _np_axis_angle(axis, angle)
+    if "zaxis" in attrib:
+        z = parse_vec(attrib["zaxis"], 3, np.array([0.0, 0, 1]))
+        z = z / max(np.linalg.norm(z), 1e-15)
+        return _np_quat_z_to(z)
+    if "xyaxes" in attrib:
+        xy = parse_vec(attrib["xyaxes"], 6)
+        x = xy[:3] / max(np.linalg.norm(xy[:3]), 1e-15)
+        y = xy[3:] - np.dot(xy[3:], x) * x
+        y = y / max(np.linalg.norm(y), 1e-15)
+        z = np.cross(x, y)
+        return _np_mat_to_quat(np.stack([x, y, z], axis=1))
+    return np.array([1.0, 0.0, 0.0, 0.0])
+
+
+def _np_mul_quat(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    uw, ux, uy, uz = u
+    vw, vx, vy, vz = v
+    return np.array(
+        [
+            uw * vw - ux * vx - uy * vy - uz * vz,
+            uw * vx + ux * vw + uy * vz - uz * vy,
+            uw * vy - ux * vz + uy * vw + uz * vx,
+            uw * vz + ux * vy - uy * vx + uz * vw,
+        ]
+    )
+
+
+def _np_axis_angle(axis: np.ndarray, angle: float) -> np.ndarray:
+    return np.concatenate([[np.cos(angle / 2)], axis * np.sin(angle / 2)])
+
+
+def _np_quat_z_to(z: np.ndarray) -> np.ndarray:
+    """Minimal rotation taking (0,0,1) to z."""
+    z0 = np.array([0.0, 0.0, 1.0])
+    c = float(np.dot(z0, z))
+    if c > 1 - 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    if c < -1 + 1e-12:
+        return np.array([0.0, 1.0, 0.0, 0.0])
+    axis = np.cross(z0, z)
+    axis = axis / np.linalg.norm(axis)
+    return _np_axis_angle(axis, float(np.arccos(np.clip(c, -1, 1))))
+
+
+def _np_quat_to_mat(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _np_mat_to_quat(m: np.ndarray) -> np.ndarray:
+    tr = np.trace(m)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+        q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s, (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s])
+    elif m[1, 1] > m[2, 2]:
+        s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+        q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s, 0.25 * s, (m[1, 2] + m[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+        q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s, (m[1, 2] + m[2, 1]) / s, 0.25 * s])
+    return q / np.linalg.norm(q)

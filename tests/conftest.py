@@ -1,0 +1,23 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Physics parity tests compare against the MuJoCo C engine on host (the role
+the reference delegates to MuJoCo; see SURVEY.md §4), and mesh-sharding tests
+need multiple devices, which virtual CPU devices provide without hardware.
+
+Note: in this environment the JAX_PLATFORMS env var is overridden by the
+platform plugin, so we force the platform through jax.config instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # older jax: fall back to XLA flag (must precede backend init)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,281 @@
+"""Batched collision: analytic narrowphase over static candidate pairs.
+
+Replaces MJX's collision driver role in the reference's hot loop
+(SURVEY.md §3.4: "collision: broadphase pair pruning -> convex narrowphase").
+
+TPU-first design: candidate pairs are enumerated at compile time
+(skeleton pair_geom1/pair_geom2, filtered by contype/conaffinity/parent);
+at runtime each geom-type pair group runs one vectorized narrowphase over all
+its pairs at once (no per-pair control flow), writing into fixed contact
+slots. "No contact" is encoded by dist > includemargin (row masked inactive
+downstream), so every shape is static.
+
+Conventions match MuJoCo: contact frame rows = (normal, tangent1, tangent2)
+with the normal pointing from geom1 into geom2; contact pos is the midpoint
+of the overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ambersim_tpu.core.types import Contact, Data, GeomType, Model
+
+_BIG = 1e10
+
+
+def _make_frame(n: jax.Array) -> jax.Array:
+    """(..., 3) normal -> (..., 3, 3) frame rows (n, t1, t2), branch-free.
+
+    Matches MuJoCo's tangent convention (verified against the C oracle):
+    reference axis = y if |n_y| <= |n_x| else x; t1 = the reference axis
+    orthogonalized against n; t2 = n x t1.
+    """
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    use_y = jnp.abs(n[..., 1:2]) <= jnp.abs(n[..., 0:1])
+    ref = jnp.where(
+        use_y,
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n.dtype), n.shape),
+    )
+    t1 = ref - n * jnp.sum(n * ref, axis=-1, keepdims=True)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=-2)
+
+
+# Each narrowphase fn takes batched geom poses/sizes for its group and returns
+# (dist, pos, frame) with a fixed number of contact points per pair.
+
+
+def plane_sphere(xp1, xm1, s1, xp2, xm2, s2):
+    n = xm1[..., :, 2]
+    r = s2[..., 0]
+    h = jnp.einsum("...i,...i->...", xp2 - xp1, n)
+    dist = h - r
+    pos = xp2 - n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
+def plane_capsule(xp1, xm1, s1, xp2, xm2, s2):
+    n = xm1[..., :, 2]
+    r, hl = s2[..., 0], s2[..., 1]
+    axis = xm2[..., :, 2]
+    dists, poss = [], []
+    for sign in (1.0, -1.0):
+        c = xp2 + sign * hl[..., None] * axis
+        h = jnp.einsum("...i,...i->...", c - xp1, n)
+        dist = h - r
+        pos = c - n * (r + 0.5 * dist)[..., None]
+        dists.append(dist)
+        poss.append(pos)
+    dist = jnp.stack(dists, axis=-1)  # (..., 2)
+    pos = jnp.stack(poss, axis=-2)
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
+
+
+def plane_box(xp1, xm1, s1, xp2, xm2, s2):
+    """Up to 4 deepest corners of the box vs the plane."""
+    n = xm1[..., :, 2]
+    corners = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], dtype=xp2.dtype
+    )  # (8, 3)
+    pts = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, corners * s2[..., None, :])
+    d = jnp.einsum("...ki,...i->...k", pts - xp1[..., None, :], n)  # (..., 8)
+    # take the 4 smallest distances (static top-k)
+    idx = jnp.argsort(d, axis=-1)[..., :4]
+    dist = jnp.take_along_axis(d, idx, axis=-1)
+    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2) - 0.5 * dist[..., None] * n[..., None, :]
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
+
+
+def _sphere_sphere_raw(c1, r1, c2, r2):
+    delta = c2 - c1
+    dd = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(dd, 1e-12)[..., None]
+    # degenerate (concentric) fallback: z axis
+    n = jnp.where(dd[..., None] > 1e-9, n, jnp.broadcast_to(jnp.array([0.0, 0, 1.0], c1.dtype), n.shape))
+    dist = dd - (r1 + r2)
+    pos = c1 + n * (r1 + 0.5 * dist)[..., None]
+    return dist, pos, n
+
+
+def sphere_sphere(xp1, xm1, s1, xp2, xm2, s2):
+    dist, pos, n = _sphere_sphere_raw(xp1, s1[..., 0], xp2, s2[..., 0])
+    return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
+def _closest_on_segment(p, a, axis, hl):
+    t = jnp.einsum("...i,...i->...", p - a, axis)
+    t = jnp.clip(t, -hl, hl)
+    return a + t[..., None] * axis
+
+
+def sphere_capsule(xp1, xm1, s1, xp2, xm2, s2):
+    axis = xm2[..., :, 2]
+    c = _closest_on_segment(xp1, xp2, axis, s2[..., 1])
+    dist, pos, n = _sphere_sphere_raw(xp1, s1[..., 0], c, s2[..., 0])
+    return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
+def capsule_capsule(xp1, xm1, s1, xp2, xm2, s2):
+    a1, a2 = xm1[..., :, 2], xm2[..., :, 2]
+    hl1, hl2 = s1[..., 1], s2[..., 1]
+    # closest points between two segments (branch-free clamped solve)
+    d12 = jnp.einsum("...i,...i->...", a1, a2)
+    r = xp2 - xp1
+    s_ = jnp.einsum("...i,...i->...", r, a1)
+    t_ = jnp.einsum("...i,...i->...", r, a2)
+    denom = 1.0 - d12 * d12
+    u = jnp.where(jnp.abs(denom) > 1e-9, (s_ - d12 * t_) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    u = jnp.clip(u, -hl1, hl1)
+    v = jnp.clip(u * d12 - t_, -hl2, hl2)
+    u = jnp.clip(v * d12 + s_, -hl1, hl1)
+    p1 = xp1 + u[..., None] * a1
+    p2 = xp2 + v[..., None] * a2
+    dist, pos, n = _sphere_sphere_raw(p1, s1[..., 0], p2, s2[..., 0])
+    return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
+def sphere_box(xp1, xm1, s1, xp2, xm2, s2):
+    r = s1[..., 0]
+    # sphere center in box frame
+    local = jnp.einsum("...ji,...j->...i", xm2, xp1 - xp2)
+    clamped = jnp.clip(local, -s2, s2)
+    inside = jnp.all(jnp.abs(local) < s2, axis=-1)
+    # if inside: push to the nearest face
+    gap = s2 - jnp.abs(local)
+    ax = jnp.argmin(gap, axis=-1)
+    onehot = jax.nn.one_hot(ax, 3, dtype=local.dtype)
+    face_pt = jnp.where(
+        inside[..., None],
+        local * (1 - onehot) + onehot * jnp.sign(local) * s2,
+        clamped,
+    )
+    closest = xp2 + jnp.einsum("...ij,...j->...i", xm2, face_pt)
+    delta = closest - xp1
+    dd = jnp.linalg.norm(delta, axis=-1)
+    n_out = delta / jnp.maximum(dd, 1e-12)[..., None]
+    n_in = -n_out  # when center is inside, normal flips (from sphere into box face)
+    n = jnp.where(inside[..., None], n_in, n_out)
+    dist = jnp.where(inside, -(dd + r), dd - r)
+    pos = xp1 + n * (r + 0.5 * dist)[..., None] * jnp.where(inside[..., None], -1.0, 1.0)
+    # keep midpoint convention: surface point of sphere along n plus half the overlap
+    pos = xp1 + n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
+# dispatch table keyed by (type1, type2) with type1 <= type2 (compiler orders pairs)
+_NARROWPHASE = {
+    (int(GeomType.PLANE), int(GeomType.SPHERE)): (plane_sphere, 1),
+    (int(GeomType.PLANE), int(GeomType.CAPSULE)): (plane_capsule, 2),
+    (int(GeomType.PLANE), int(GeomType.BOX)): (plane_box, 4),
+    (int(GeomType.SPHERE), int(GeomType.SPHERE)): (sphere_sphere, 1),
+    (int(GeomType.SPHERE), int(GeomType.CAPSULE)): (sphere_capsule, 1),
+    (int(GeomType.SPHERE), int(GeomType.BOX)): (sphere_box, 1),
+    (int(GeomType.CAPSULE), int(GeomType.CAPSULE)): (capsule_capsule, 1),
+}
+
+SUPPORTED_PAIRS = set(_NARROWPHASE)
+
+
+def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray):
+    """Contact parameter mixing (mirrors mj_contactParam): priority wins,
+    otherwise solmix-weighted solref/solimp, max friction, max margin/gap."""
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    eq = p1 == p2
+    w1 = m.geom_solmix[g1] / jnp.maximum(m.geom_solmix[g1] + m.geom_solmix[g2], 1e-12)
+    w1 = jnp.where((m.geom_solmix[g1] >= 1e-12) & (m.geom_solmix[g2] < 1e-12), 1.0, w1)
+    w1 = jnp.where((m.geom_solmix[g1] < 1e-12) & (m.geom_solmix[g2] >= 1e-12), 0.0, w1)
+    w1 = jnp.where((m.geom_solmix[g1] < 1e-12) & (m.geom_solmix[g2] < 1e-12), 0.5, w1)
+    w1 = jnp.where(eq, w1, jnp.where(p1 > p2, 1.0, 0.0))[..., None]
+
+    # solref: weighted average if standard (positive); min if direct
+    sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+    standard = (sr1[..., 0] > 0) & (sr2[..., 0] > 0)
+    solref = jnp.where(standard[..., None], w1 * sr1 + (1 - w1) * sr2, jnp.minimum(sr1, sr2))
+    solimp = w1 * m.geom_solimp[g1] + (1 - w1) * m.geom_solimp[g2]
+
+    fr = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+    fr = jnp.where(eq[..., None], fr, jnp.where(p1[..., None] > p2[..., None], m.geom_friction[g1], m.geom_friction[g2]))
+    friction = jnp.stack([fr[..., 0], fr[..., 0], fr[..., 1], fr[..., 2], fr[..., 2]], axis=-1)
+
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+    return friction, solref, solimp, margin, gap
+
+
+def collision(m: Model, d: Data) -> Data:
+    """Run narrowphase for all candidate pairs into fixed contact slots."""
+    s = m.skel
+    if s.ncon == 0:
+        return d
+
+    dtype = d.qpos.dtype
+    dist_all = jnp.full((s.ncon,), _BIG, dtype)
+    pos_all = jnp.zeros((s.ncon, 3), dtype)
+    frame_all = jnp.tile(jnp.eye(3, dtype=dtype), (s.ncon, 1, 1))
+    fric_all = jnp.zeros((s.ncon, 5), dtype)
+    solref_all = jnp.zeros((s.ncon, 2), dtype)
+    solimp_all = jnp.zeros((s.ncon, 5), dtype)
+    margin_all = jnp.zeros((s.ncon,), dtype)
+
+    # group pairs by type pair (static)
+    pair_t1 = s.geom_type[s.pair_geom1]
+    pair_t2 = s.geom_type[s.pair_geom2]
+    con_adr = s.con_adr  # (npair,) first contact slot of each pair
+
+    groups: dict = {}
+    for i in range(len(s.pair_geom1)):
+        groups.setdefault((int(pair_t1[i]), int(pair_t2[i])), []).append(i)
+
+    for tkey, idx_list in groups.items():
+        fn, ncon_per = _NARROWPHASE[tkey]
+        idx = np.array(idx_list, dtype=np.int32)
+        g1 = s.pair_geom1[idx]
+        g2 = s.pair_geom2[idx]
+        dist, pos, frame = fn(
+            d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+            d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+        )  # (npairs_in_group, ncon_per[, ...])
+        friction, solref, solimp, margin, gap = _mix_params(m, jnp.asarray(g1), jnp.asarray(g2))
+        # explicit <pair> overrides
+        exp = s.pair_explicit[idx]
+        has_exp = exp >= 0
+        if has_exp.any():
+            eidx = jnp.asarray(np.maximum(exp, 0))
+            hexp = jnp.asarray(has_exp)
+            friction = jnp.where(hexp[:, None], m.pair_friction[eidx], friction)
+            solref = jnp.where(hexp[:, None], m.pair_solref[eidx], solref)
+            solimp = jnp.where(hexp[:, None], m.pair_solimp[eidx], solimp)
+            margin = jnp.where(hexp, m.pair_margin[eidx], margin)
+            gap = jnp.where(hexp, m.pair_gap[eidx], gap)
+
+        includemargin = margin - gap
+        # scatter into slots: slot indices are static
+        slots = np.concatenate([np.arange(ncon_per, dtype=np.int32) + int(con_adr[i]) for i in idx])
+        dist_all = dist_all.at[slots].set(dist.reshape(-1))
+        pos_all = pos_all.at[slots].set(pos.reshape(-1, 3))
+        frame_all = frame_all.at[slots].set(frame.reshape(-1, 3, 3))
+        rep = lambda x, w: jnp.repeat(x, ncon_per, axis=0).reshape(len(idx) * ncon_per, *x.shape[1:])  # noqa: E731
+        fric_all = fric_all.at[slots].set(jnp.repeat(friction, ncon_per, axis=0))
+        solref_all = solref_all.at[slots].set(jnp.repeat(solref, ncon_per, axis=0))
+        solimp_all = solimp_all.at[slots].set(jnp.repeat(solimp, ncon_per, axis=0))
+        margin_all = margin_all.at[slots].set(jnp.repeat(includemargin, ncon_per, axis=0))
+
+    contact = Contact(
+        dist=dist_all,
+        pos=pos_all,
+        frame=frame_all,
+        friction=fric_all,
+        solref=solref_all,
+        solimp=solimp_all,
+        includemargin=margin_all,
+    )
+    return d.replace(contact=contact)

@@ -1,12 +1,282 @@
-"""Constraint assembly: equality, friction loss, limits, contacts -> efc rows.
+"""Constraint assembly: equality, dof friction, joint limits, contacts
+-> dense efc rows (J, D, aref, pos, active).
 
-Placeholder until the constraint solver lands.
+Replaces MJX's make_constraint in the reference's pipeline (SURVEY.md §3.4
+"constraint assembly: contacts (pyramidal cone), joint limits, equality").
+Conventions were extracted from the MuJoCo C oracle and are parity-tested
+row-by-row (tests/test_constraint_parity.py):
+
+  * impedance: solimp=(d0,dmax,width,mid,power) sigmoid on |pos-margin|/width
+  * aref = -b*(J qvel) - k*imp*(pos - margin), b = 2/(dmax*tc),
+    k = 1/(dmax^2*tc^2*dr^2) for standard solref (tc, dr); direct for <=0
+  * R = max(eps, (1-imp)/imp * diagApprox), D = 1/R
+  * pyramidal contact rows: J = Jn +- mu_i * Jt_i, diagApprox = 4*invweight/impratio
+  * limits: one row per limited joint, J=+1 near lower bound / -1 near upper
+
+Everything is fixed-shape: rows exist for every potential constraint and are
+gated by efc_active (TPU-friendly masking instead of dynamic row counts).
 """
 
 from __future__ import annotations
 
-from ambersim_tpu.core.types import Data, Model
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ambersim_tpu.core import math as am
+from ambersim_tpu.core.types import Data, DisableBit, EqType, JointType, Model
+
+_MINVAL = 1e-10
+_MINIMP = 0.0001
+_MAXIMP = 0.9999
+
+
+def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
+    """MuJoCo impedance sigmoid. solimp (..., 5), pos (...,)."""
+    d0, dmax, width, mid, power = (solimp[..., i] for i in range(5))
+    x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
+    mid = jnp.clip(mid, _MINIMP, _MAXIMP)
+    power = jnp.maximum(power, 1.0)
+    a = 1.0 / jnp.power(mid, power - 1.0)
+    b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
+    y = jnp.where(x < mid, a * jnp.power(x, power), 1.0 - b * jnp.power(1.0 - x, power))
+    return jnp.clip(d0 + y * (dmax - d0), _MINIMP, _MAXIMP)
+
+
+def _kbi(m: Model, solref: jax.Array, solimp: jax.Array, pos: jax.Array):
+    """Stiffness/damping/impedance per row. solref (...,2)."""
+    imp = _impedance(solimp, pos)
+    tc, dr = solref[..., 0], solref[..., 1]
+    if not (m.opt.disableflags & DisableBit.REFSAFE):
+        tc = jnp.maximum(tc, 2.0 * m.opt.timestep)
+    dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
+    b_std = 2.0 / (dmax * jnp.maximum(tc, _MINVAL))
+    k_std = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, _MINVAL)
+    # direct convention: solref <= 0 means (-k, -b)
+    direct = (solref[..., 0] <= 0) & (solref[..., 1] <= 0)
+    k = jnp.where(direct, -solref[..., 0] / jnp.maximum(dmax * dmax, _MINVAL), k_std)
+    b = jnp.where(direct, -solref[..., 1] / jnp.maximum(dmax, _MINVAL), b_std)
+    return k, b, imp
+
+
+_CACHE: dict = {}
+
+
+def _con_support(s) -> np.ndarray:
+    """(ncon, nv) static signed support: +1 dof drives geom2 body, -1 geom1."""
+    key = (id(s), "con_support")
+    if key not in _CACHE:
+        from ambersim_tpu.engine.smooth import _body_dof_support
+
+        sup = _body_dof_support(s).astype(np.float32)  # (nbody, nv)
+        b1 = s.geom_bodyid[s.con_geom1]
+        b2 = s.geom_bodyid[s.con_geom2]
+        _CACHE[key] = sup[b2] - sup[b1]
+    return _CACHE[key]
+
+
+def _point_jac(m: Model, d: Data, pos: jax.Array, signed_support: jax.Array) -> jax.Array:
+    """Translational jacobian of relative velocity at world points.
+
+    pos: (n, 3) points; signed_support: (n, nv). Returns (n, nv, 3)."""
+    s = m.skel
+    origin = d.subtree_com[s.body_rootid[s.dof_bodyid]]  # (nv, 3)
+    ang = d.cdof[:, :3]
+    lin = d.cdof[:, 3:]
+    jacp = lin[None] + jnp.cross(ang[None], pos[:, None, :] - origin[None])  # (n, nv, 3)
+    return jacp * signed_support[..., None]
 
 
 def make_constraint(m: Model, d: Data) -> Data:
-    return d
+    s = m.skel
+    dtype = d.qpos.dtype
+    nv, nefc = s.nv, s.nefc
+    if nefc == 0:
+        return d
+
+    efc_J = jnp.zeros((nefc, nv), dtype)
+    efc_pos = jnp.zeros((nefc,), dtype)
+    efc_margin = jnp.zeros((nefc,), dtype)
+    efc_D = jnp.zeros((nefc,), dtype)
+    efc_aref = jnp.zeros((nefc,), dtype)
+    efc_fl = jnp.zeros((nefc,), dtype)
+    efc_active = jnp.zeros((nefc,), bool)
+
+    row = 0
+
+    # ---------------- equality ----------------
+    eq_enabled = not (m.opt.disableflags & DisableBit.EQUALITY)
+    for e in range(s.neq):
+        etype = EqType(int(s.eq_type[e]))
+        active = bool(s.eq_active0[e]) and eq_enabled
+        if etype == EqType.JOINT:
+            j1, j2 = int(s.eq_obj1id[e]), int(s.eq_obj2id[e])
+            qa1, da1 = int(s.jnt_qposadr[j1]), int(s.jnt_dofadr[j1])
+            c = m.eq_data[e, :5]
+            if j2 >= 0:
+                qa2, da2 = int(s.jnt_qposadr[j2]), int(s.jnt_dofadr[j2])
+                z = d.qpos[qa2] - m.qpos0[qa2]
+                poly = c[0] + z * (c[1] + z * (c[2] + z * (c[3] + z * c[4])))
+                dpoly = c[1] + z * (2 * c[2] + z * (3 * c[3] + z * 4 * c[4]))
+                pos = (d.qpos[qa1] - m.qpos0[qa1]) - poly
+                Jrow = jnp.zeros(nv, dtype).at[da1].set(1.0).at[da2].set(-dpoly)
+                diag = m.dof_invweight0[da1] + m.dof_invweight0[da2]
+            else:
+                pos = d.qpos[qa1] - m.qpos0[qa1] - c[0]
+                Jrow = jnp.zeros(nv, dtype).at[da1].set(1.0)
+                diag = m.dof_invweight0[da1]
+            k, b, imp = _kbi(m, m.eq_solref[e], m.eq_solimp[e], pos)
+            jqvel = Jrow @ d.qvel
+            efc_J = efc_J.at[row].set(Jrow)
+            efc_pos = efc_pos.at[row].set(pos)
+            efc_aref = efc_aref.at[row].set(-b * jqvel - k * imp * pos)
+            efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * diag, _MINVAL))
+            efc_active = efc_active.at[row].set(active)
+            row += 1
+        elif etype in (EqType.CONNECT, EqType.WELD):
+            b1, b2 = int(s.eq_obj1id[e]), int(s.eq_obj2id[e])
+            if etype == EqType.CONNECT:
+                anchor1, anchor2 = m.eq_data[e, :3], m.eq_data[e, 3:6]
+            else:
+                anchor1, anchor2 = m.eq_data[e, 3:6], m.eq_data[e, :3]
+            p1 = d.xpos[b1] + am.rotate(anchor1, d.xquat[b1])
+            p2 = d.xpos[b2] + am.rotate(anchor2, d.xquat[b2])
+            pos3 = p1 - p2
+            from ambersim_tpu.engine.smooth import _body_dof_support
+
+            sup = _body_dof_support(s).astype(np.float32)
+            ssup = jnp.asarray((sup[b1] - sup[b2])[None, :], dtype)  # J of (v1 - v2)
+            # jacobian evaluated at the midpoint for symmetry (MuJoCo uses each
+            # body's own anchor; midpoint matches to first order and is stable)
+            jac1 = _point_jac(m, d, p1[None], jnp.asarray(sup[b1])[None])[0]
+            jac2 = _point_jac(m, d, p2[None], jnp.asarray(sup[b2])[None])[0]
+            jdiff = (jac1 - jac2).T  # (3, nv)
+            diag_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            nrow = 3 if etype == EqType.CONNECT else 6
+            if etype == EqType.WELD:
+                relq = m.eq_data[e, 6:10]
+                q2r = am.mul_quat(d.xquat[b2], relq)
+                rotres = am.quat_sub(d.xquat[b1], q2r)
+                jacr = (d.cdof[:, :3] * ssup[0][:, None]).T  # (3, nv)
+                torquescale = jnp.where(m.eq_data[e, 10] > 0, m.eq_data[e, 10], 1.0)
+                res = jnp.concatenate([pos3, rotres * torquescale])
+                Jblock = jnp.concatenate([jdiff, jacr * torquescale], axis=0)
+                diag_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+                diag = jnp.concatenate([jnp.full(3, diag_t), jnp.full(3, diag_r)])
+            else:
+                res = pos3
+                Jblock = jdiff
+                diag = jnp.full(3, diag_t)
+            k, b_, imp = _kbi(
+                m,
+                jnp.broadcast_to(m.eq_solref[e], (nrow, 2)),
+                jnp.broadcast_to(m.eq_solimp[e], (nrow, 5)),
+                res,
+            )
+            jqvel = Jblock @ d.qvel
+            sl = slice(row, row + nrow)
+            efc_J = efc_J.at[sl].set(Jblock)
+            efc_pos = efc_pos.at[sl].set(res)
+            efc_aref = efc_aref.at[sl].set(-b_ * jqvel - k * imp * res)
+            efc_D = efc_D.at[sl].set(imp / jnp.maximum((1 - imp) * diag, _MINVAL))
+            efc_active = efc_active.at[sl].set(active)
+            row += nrow
+
+    # ---------------- dof friction loss ----------------
+    fl_enabled = not (m.opt.disableflags & DisableBit.FRICTIONLOSS)
+    for i, dof in enumerate(s.friction_dofid):
+        dof = int(dof)
+        Jrow = jnp.zeros(nv, dtype).at[dof].set(1.0)
+        k, b, imp = _kbi(m, m.dof_solref[dof], m.dof_solimp[dof], jnp.zeros((), dtype))
+        efc_J = efc_J.at[row].set(Jrow)
+        efc_aref = efc_aref.at[row].set(-b * d.qvel[dof])
+        efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[dof], _MINVAL))
+        efc_fl = efc_fl.at[row].set(m.dof_frictionloss[dof])
+        efc_active = efc_active.at[row].set(fl_enabled)
+        row += 1
+
+    # ---------------- joint limits ----------------
+    lim_enabled = not (m.opt.disableflags & DisableBit.LIMIT)
+    for j in s.limit_jntid:
+        j = int(j)
+        qa, da = int(s.jnt_qposadr[j]), int(s.jnt_dofadr[j])
+        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
+        dist_lo = d.qpos[qa] - lo
+        dist_hi = hi - d.qpos[qa]
+        lower = dist_lo < dist_hi
+        dist = jnp.where(lower, dist_lo, dist_hi)
+        sign = jnp.where(lower, 1.0, -1.0)
+        pos = dist - m.jnt_margin[j]
+        Jrow = jnp.zeros(nv, dtype).at[da].set(sign)
+        k, b, imp = _kbi(m, m.jnt_solref[j], m.jnt_solimp[j], pos)
+        jqvel = sign * d.qvel[da]
+        efc_J = efc_J.at[row].set(Jrow)
+        efc_pos = efc_pos.at[row].set(pos)
+        efc_margin = efc_margin.at[row].set(m.jnt_margin[j])
+        efc_aref = efc_aref.at[row].set(-b * jqvel - k * imp * pos)
+        efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[da], _MINVAL))
+        efc_active = efc_active.at[row].set(lim_enabled & (dist < m.jnt_margin[j]))
+        row += 1
+
+    # ---------------- contacts (pyramidal) ----------------
+    con_enabled = not (m.opt.disableflags & DisableBit.CONTACT)
+    if s.ncon and con_enabled:
+        c = d.contact
+        signed_sup = jnp.asarray(_con_support(s), dtype)  # (ncon, nv)
+        jacp = _point_jac(m, d, c.pos, signed_sup)  # (ncon, nv, 3)
+        # project on frame rows: (ncon, 3, nv)
+        jframe = jnp.einsum("cij,cvj->civ", c.frame, jacp)
+        b1 = s.geom_bodyid[s.con_geom1]
+        b2 = s.geom_bodyid[s.con_geom2]
+        invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
+        pos_c = c.dist - c.includemargin
+        k, b, imp = _kbi(m, c.solref, c.solimp, pos_c)
+        diag = 4.0 * invweight / m.opt.impratio
+        D_c = imp / jnp.maximum((1 - imp) * diag, _MINVAL)
+        active_c = c.dist < c.includemargin
+
+        for slot in range(s.ncon):
+            cdim = int(s.con_dim[slot])
+            adr = int(s.con_efcadr[slot])
+            jn = jframe[slot, 0]
+            if cdim == 1:
+                efc_J = efc_J.at[adr].set(jn)
+                efc_pos = efc_pos.at[adr].set(c.dist[slot])
+                efc_margin = efc_margin.at[adr].set(c.includemargin[slot])
+                jqvel = jn @ d.qvel
+                efc_aref = efc_aref.at[adr].set(-b[slot] * jqvel - k[slot] * imp[slot] * pos_c[slot])
+                efc_D = efc_D.at[adr].set(D_c[slot])
+                efc_active = efc_active.at[adr].set(active_c[slot])
+            else:
+                r = adr
+                for fdim in range(1, cdim):
+                    mu = c.friction[slot, fdim - 1]
+                    if fdim < 3:
+                        jt = jframe[slot, fdim]
+                    else:  # torsional (normal) / rolling (t1, t2) rotational rows
+                        jt = _rot_jac(m, d, signed_sup)[slot] @ c.frame[slot, fdim - 3]
+                    for sign in (1.0, -1.0):
+                        Jrow = jn + sign * mu * jt
+                        jqvel = Jrow @ d.qvel
+                        efc_J = efc_J.at[r].set(Jrow)
+                        efc_pos = efc_pos.at[r].set(c.dist[slot])
+                        efc_margin = efc_margin.at[r].set(c.includemargin[slot])
+                        efc_aref = efc_aref.at[r].set(-b[slot] * jqvel - k[slot] * imp[slot] * pos_c[slot])
+                        efc_D = efc_D.at[r].set(D_c[slot])
+                        efc_active = efc_active.at[r].set(active_c[slot])
+                        r += 1
+
+    return d.replace(
+        efc_J=efc_J,
+        efc_pos=efc_pos,
+        efc_margin=efc_margin,
+        efc_D=efc_D,
+        efc_aref=efc_aref,
+        efc_frictionloss=efc_fl,
+        efc_active=efc_active,
+    )
+
+
+def _rot_jac(m: Model, d: Data, signed_sup: jax.Array) -> jax.Array:
+    """(ncon, nv, 3) rotational jacobian (for condim>3 torsional/rolling rows)."""
+    return d.cdof[None, :, :3] * signed_sup[..., None]

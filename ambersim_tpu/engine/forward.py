@@ -4,13 +4,13 @@ role of mjx.forward/mjx.step at reference ambersim/rl/base.py:86,93)."""
 from __future__ import annotations
 
 from ambersim_tpu.core.types import Data, DisableBit, Model
-from ambersim_tpu.engine import collision_driver, constraint, integrate, smooth, solver
+from ambersim_tpu.engine import collision, constraint, integrate, smooth, solver
 
 
 def fwd_position(m: Model, d: Data) -> Data:
     d = smooth.fwd_position_smooth(m, d)
     if not (m.opt.disableflags & DisableBit.CONSTRAINT):
-        d = collision_driver.collision(m, d)
+        d = collision.collision(m, d)
         d = constraint.make_constraint(m, d)
     return d
 

@@ -1,9 +1,156 @@
-"""Constraint solver (Newton with line search). Placeholder."""
+"""Newton constraint solver with exact line search over the piecewise-
+quadratic primal cost (the role of MJX's Newton solver in the reference's
+hot loop; iterations/ls_iterations semantics as surfaced at reference
+ambersim/utils/io_utils.py:143-144, 213-217).
+
+Primal formulation (MuJoCo): minimize over qacc
+    0.5*(a - a_smooth)^T M (a - a_smooth) + sum_i s_i(J_i a - aref_i)
+with per-row cost s_i:
+    equality rows:        0.5*D*x^2                      (always active)
+    friction rows:        Huber(x): quadratic until |D*x| = frictionloss,
+                          then linear
+    limit/contact rows:   0.5*D*x^2 * (x < 0)
+Rows gated off by efc_active contribute nothing.
+
+TPU-first: dense J (nefc x nv), Hessian assembled with one einsum and solved
+with a dense Cholesky - MXU work under vmap; iteration uses lax.while_loop
+(converged envs in a vmapped batch simply idle until the slowest finishes).
+"""
 
 from __future__ import annotations
 
-from ambersim_tpu.core.types import Data, Model
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.core.types import Data, DisableBit, Model
+
+
+class _Ctx(NamedTuple):
+    qacc: jax.Array
+    jar: jax.Array  # J @ qacc - aref
+    cost: jax.Array
+    prev_cost: jax.Array
+    it: jax.Array
+
+
+def _row_costs(m: Model, d: Data, jar: jax.Array):
+    """Per-row cost, force (negative gradient dcost/djar), and quadratic mask."""
+    s = m.skel
+    ne, nf, nl = s.ne, s.nf, s.nl
+    D = d.efc_D
+    fl = d.efc_frictionloss
+    active = d.efc_active
+
+    is_eq = jnp.arange(s.nefc) < ne
+    is_fric = (jnp.arange(s.nefc) >= ne) & (jnp.arange(s.nefc) < ne + nf)
+    # limits + contacts: one-sided
+    one_sided = ~(is_eq | is_fric)
+
+    quad_cost = 0.5 * D * jar * jar
+    quad_force = -D * jar
+
+    # friction Huber: linear beyond |D*jar| > fl
+    lin = jnp.abs(D * jar) > fl
+    fric_cost = jnp.where(lin, fl * jnp.abs(jar) - 0.5 * fl * fl / jnp.maximum(D, 1e-12), quad_cost)
+    fric_force = jnp.where(lin, -jnp.sign(jar) * fl, quad_force)
+
+    gated = jnp.where(one_sided, jar < 0, True)
+    cost = jnp.where(is_fric, fric_cost, quad_cost) * gated * active
+    force = jnp.where(is_fric, fric_force, quad_force) * gated * active
+    # rows contributing to the Hessian (quadratic region only)
+    quad = jnp.where(is_fric, ~lin, gated) & active
+    return cost, force, quad
+
+
+def _total_cost(m: Model, d: Data, qacc: jax.Array, jar: jax.Array) -> jax.Array:
+    dacc = qacc - d.qacc_smooth
+    smooth_cost = 0.5 * dacc @ (d.qM @ dacc)
+    cost, _, _ = _row_costs(m, d, jar)
+    return smooth_cost + jnp.sum(cost)
+
+
+def _line_search(m: Model, d: Data, qacc, jar, p, jp):
+    """Exact-ish scalar Newton on the piecewise-quadratic phi(t) = cost(a + t p)."""
+    mp = d.qM @ p
+    ma = d.qM @ (qacc - d.qacc_smooth)
+    pmp = p @ mp
+    pma = p @ ma
+
+    def phi_grad_hess(t):
+        jart = jar + t * jp
+        _, force, quad = _row_costs(m, d, jart)
+        # dcost/dt = p^T M (a - as) + t p^T M p + sum_i (-force_i) * jp_i
+        g = pma + t * pmp - jnp.sum(force * jp)
+        h = pmp + jnp.sum(jnp.where(quad, d.efc_D * jp * jp, 0.0))
+        return g, h
+
+    t = jnp.zeros((), qacc.dtype)
+
+    def body(i, t):
+        g, h = phi_grad_hess(t)
+        return t - g / jnp.maximum(h, 1e-12)
+
+    t = jax.lax.fori_loop(0, max(m.opt.ls_iterations, 1), body, t)
+    return jnp.clip(t, 0.0, 4.0)
 
 
 def solve(m: Model, d: Data) -> Data:
-    return d.replace(qacc=d.qacc_smooth)
+    s = m.skel
+    dtype = d.qpos.dtype
+    if s.nefc == 0 or s.nv == 0:
+        return d.replace(qacc=d.qacc_smooth)
+
+    J = d.efc_J
+    aref = d.efc_aref
+
+    def make_ctx(qacc):
+        jar = J @ qacc - aref
+        return _Ctx(qacc=qacc, jar=jar, cost=_total_cost(m, d, qacc, jar), prev_cost=jnp.inf, it=jnp.zeros((), jnp.int32))
+
+    ctx0 = make_ctx(d.qacc_smooth)
+    if not (m.opt.disableflags & DisableBit.WARMSTART):
+        ctx_ws = make_ctx(d.qacc_warmstart)
+        ctx0 = jax.tree.map(lambda a, b: jnp.where(ctx_ws.cost < ctx0.cost, a, b), ctx_ws, ctx0)
+
+    # scale-invariant tolerance (mirrors MuJoCo's scaled improvement test)
+    tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
+
+    def cond(ctx: _Ctx):
+        return (ctx.it < m.opt.iterations) & (ctx.prev_cost - ctx.cost > tol)
+
+    def body(ctx: _Ctx):
+        _, force, quad = _row_costs(m, d, ctx.jar)
+        grad = d.qM @ (ctx.qacc - d.qacc_smooth) - J.T @ force
+        h_diag = jnp.where(quad, d.efc_D, 0.0)
+        H = d.qM + jnp.einsum("iv,i,iw->vw", J, h_diag, J)
+        H = H + 1e-8 * jnp.eye(s.nv, dtype=dtype)
+        chol = jax.scipy.linalg.cholesky(H, lower=True)
+        p = -jax.scipy.linalg.cho_solve((chol, True), grad)
+        jp = J @ p
+        t = _line_search(m, d, ctx.qacc, ctx.jar, p, jp)
+        qacc = ctx.qacc + t * p
+        jar = ctx.jar + t * jp
+        new_cost = _total_cost(m, d, qacc, jar)
+        improved = new_cost < ctx.cost
+        qacc = jnp.where(improved, qacc, ctx.qacc)
+        jar = jnp.where(improved, jar, ctx.jar)
+        return _Ctx(
+            qacc=qacc,
+            jar=jar,
+            cost=jnp.where(improved, new_cost, ctx.cost),
+            prev_cost=ctx.cost,
+            it=ctx.it + 1,
+        )
+
+    ctx = jax.lax.while_loop(cond, body, ctx0)
+
+    _, force, _ = _row_costs(m, d, ctx.jar)
+    qfrc_constraint = J.T @ force
+    return d.replace(
+        qacc=ctx.qacc,
+        qfrc_constraint=qfrc_constraint,
+        efc_force=force,
+        qacc_warmstart=ctx.qacc,
+    )

@@ -1,0 +1,163 @@
+"""Constraint pipeline parity vs the MuJoCo C engine: efc rows, contact
+forces, and contact-rich rollouts (Newton solver both sides)."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.engine import forward, make_data, step
+from ambersim_tpu.mjcf import compile_spec
+from ambersim_tpu.mjcf.parser import parse_mjcf_string
+
+BALL_PLANE = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1"/>
+  <body name="ball" pos="0 0 0.095"><freejoint/>
+    <geom name="s" type="sphere" size="0.1"/></body>
+</worldbody></mujoco>
+"""
+
+LIMITED_PENDULUM = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <body pos="0 0 1">
+    <joint name="h" axis="0 1 0" range="-0.5 0.5" frictionloss="0.3" damping="0.1"/>
+    <geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.03"/>
+  </body>
+</worldbody><compiler angle="radian"/></mujoco>
+"""
+
+COUPLED_JOINTS = """
+<mujoco><option timestep="0.002"/><compiler angle="radian"/><worldbody>
+  <body pos="0 0 1"><joint name="j1" axis="0 1 0"/>
+    <geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.03"/>
+    <body pos="0 0 -0.3"><joint name="j2" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.03"/>
+    </body>
+  </body>
+</worldbody>
+<equality><joint joint1="j1" joint2="j2" polycoef="0 0.5 0 0 0"/></equality>
+</mujoco>
+"""
+
+BOX_DROP = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1"/>
+  <body name="box" pos="0 0 0.3" euler="10 5 0">
+    <freejoint/><geom type="box" size="0.1 0.08 0.05"/>
+  </body>
+</worldbody></mujoco>
+"""
+
+CAPSULE_DROP = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1"/>
+  <body name="cap" pos="0 0 0.3" euler="0 80 0">
+    <freejoint/><geom type="capsule" size="0.04 0.15"/>
+  </body>
+</mujoco>
+""".replace("</mujoco>\n", "</worldbody></mujoco>\n", 1)
+
+SPHERE_STACK = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1"/>
+  <body pos="0 0 0.1"><freejoint/><geom type="sphere" size="0.1"/></body>
+  <body pos="0.02 0 0.31"><freejoint/><geom type="sphere" size="0.1"/></body>
+</worldbody></mujoco>
+"""
+
+
+def _pair(xml):
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    from ambersim_tpu.engine.setconst import set_constants
+
+    model = set_constants(compile_spec(parse_mjcf_string(xml)))
+    return mj_model, model
+
+
+def test_efc_rows_ball_plane():
+    """Row-level parity for a single sliding contact (4 pyramidal rows)."""
+    mj_model, model = _pair(BALL_PLANE)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qvel[0] = 0.3
+    mujoco.mj_forward(mj_model, mj_data)
+
+    d = make_data(model)
+    d = d.replace(qvel=d.qvel.at[0].set(0.3))
+    d = jax.jit(forward)(model, d)
+
+    assert mj_data.nefc == model.skel.nefc == 4
+    np.testing.assert_allclose(d.contact.dist[:1], mj_data.contact.dist, atol=1e-6)
+    np.testing.assert_allclose(d.contact.pos[:1], mj_data.contact.pos, atol=1e-6)
+    np.testing.assert_allclose(
+        d.contact.frame[:1], mj_data.contact.frame.reshape(-1, 3, 3), atol=1e-6
+    )
+    np.testing.assert_allclose(d.efc_J, mj_data.efc_J.reshape(4, 6), atol=1e-5)
+    np.testing.assert_allclose(d.efc_pos, mj_data.efc_pos, atol=1e-6)
+    np.testing.assert_allclose(d.efc_aref, mj_data.efc_aref, rtol=1e-4)
+    np.testing.assert_allclose(1.0 / d.efc_D, mj_data.efc_R, rtol=1e-4)
+    np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(d.qfrc_constraint, mj_data.qfrc_constraint, rtol=5e-3, atol=1e-3)
+
+
+def test_efc_rows_limits_friction():
+    mj_model, model = _pair(LIMITED_PENDULUM)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qpos[0] = 0.55  # beyond the 0.5 limit so the C engine emits the row
+    mj_data.qvel[0] = 1.0
+    mujoco.mj_forward(mj_model, mj_data)
+
+    d = make_data(model)
+    d = d.replace(qpos=jnp.array([0.55]), qvel=jnp.array([1.0]))
+    d = jax.jit(forward)(model, d)
+
+    assert model.skel.nefc == 2  # friction + limit
+    np.testing.assert_allclose(d.efc_J, mj_data.efc_J.reshape(2, 1), atol=1e-6)
+    np.testing.assert_allclose(d.efc_aref, mj_data.efc_aref, rtol=1e-4)
+    np.testing.assert_allclose(1.0 / d.efc_D, mj_data.efc_R, rtol=1e-4)
+    np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=5e-3, atol=1e-2)
+
+
+def test_equality_joint_coupling():
+    mj_model, model = _pair(COUPLED_JOINTS)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qpos[:] = [0.3, 0.2]
+    mj_data.qvel[:] = [0.1, -0.2]
+    mujoco.mj_forward(mj_model, mj_data)
+
+    d = make_data(model)
+    d = d.replace(qpos=jnp.array([0.3, 0.2]), qvel=jnp.array([0.1, -0.2]))
+    d = jax.jit(forward)(model, d)
+
+    np.testing.assert_allclose(d.efc_J, mj_data.efc_J.reshape(1, 2), atol=1e-6)
+    np.testing.assert_allclose(d.efc_aref, mj_data.efc_aref, rtol=1e-4)
+    np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=5e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "name,xml,steps,atol",
+    [
+        ("ball_plane", BALL_PLANE, 300, 5e-3),
+        ("box_drop", BOX_DROP, 300, 2e-2),
+        ("capsule_drop", CAPSULE_DROP, 300, 2e-2),
+        ("sphere_stack", SPHERE_STACK, 300, 2e-2),
+        ("limited_pendulum", LIMITED_PENDULUM, 500, 2e-2),
+        ("coupled_joints", COUPLED_JOINTS, 500, 1e-2),
+    ],
+)
+def test_contact_rollout_parity(name, xml, steps, atol):
+    """Trajectories through impact + settling must track the C engine."""
+    mj_model, model = _pair(xml)
+    mj_data = mujoco.MjData(mj_model)
+
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(steps):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(steps):
+        d = stp(model, d)
+
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=atol, err_msg=f"{name} qpos")
+    np.testing.assert_allclose(d.qvel, mj_data.qvel, atol=10 * atol, err_msg=f"{name} qvel")

@@ -1,0 +1,125 @@
+"""Training wrappers: episode termination, auto-reset, vmap batching
+(role of brax.envs.wrappers.training used implicitly by the reference's PPO
+training; D5 in SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.rl.base import MjxEnv, State
+
+
+class Wrapper(MjxEnv):
+    def __init__(self, env: MjxEnv):
+        self.env = env
+
+    def reset(self, rng: jax.Array) -> State:
+        return self.env.reset(rng)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        return self.env.step(state, action)
+
+    @property
+    def model(self):
+        return self.env.model
+
+    @model.setter
+    def model(self, value):  # pragma: no cover
+        self.env.model = value
+
+    @property
+    def dt(self):
+        return self.env.dt
+
+    @property
+    def observation_size(self) -> int:
+        return self.env.observation_size
+
+    @property
+    def action_size(self) -> int:
+        return self.env.action_size
+
+    @property
+    def unwrapped(self) -> MjxEnv:
+        return self.env.unwrapped
+
+
+class EpisodeWrapper(Wrapper):
+    """Terminate episodes after `episode_length` control steps, with
+    `action_repeat` physics-control substeps per env step."""
+
+    def __init__(self, env: MjxEnv, episode_length: int, action_repeat: int = 1):
+        super().__init__(env)
+        self.episode_length = episode_length
+        self.action_repeat = action_repeat
+
+    def reset(self, rng: jax.Array) -> State:
+        state = self.env.reset(rng)
+        state.info["steps"] = jnp.zeros(())
+        state.info["truncation"] = jnp.zeros(())
+        return state
+
+    def step(self, state: State, action: jax.Array) -> State:
+        def f(state, _):
+            return self.env.step(state, action), None
+
+        state, _ = jax.lax.scan(f, state, None, length=self.action_repeat)
+        steps = state.info["steps"] + 1
+        one = jnp.ones_like(state.done)
+        done = jnp.where(steps >= self.episode_length, one, state.done)
+        state.info["truncation"] = jnp.where(steps >= self.episode_length, 1 - state.done, jnp.zeros(()))
+        state.info["steps"] = steps
+        return state.replace(done=done)
+
+
+class AutoResetWrapper(Wrapper):
+    """Reset to the cached first state when an episode ends (brax-style)."""
+
+    def reset(self, rng: jax.Array) -> State:
+        state = self.env.reset(rng)
+        state.info["first_pipeline_state"] = state.pipeline_state
+        state.info["first_obs"] = state.obs
+        return state
+
+    def step(self, state: State, action: jax.Array) -> State:
+        if "steps" in state.info:
+            steps = state.info["steps"]
+            steps = jnp.where(state.done, jnp.zeros_like(steps), steps)
+            state.info.update(steps=steps)
+        state = state.replace(done=jnp.zeros_like(state.done))
+        state = self.env.step(state, action)
+
+        def where_done(x, y):
+            done = state.done
+            if done.shape and x.ndim and done.shape[0] == x.shape[0]:
+                done = done.reshape(done.shape + (1,) * (x.ndim - 1))
+            return jnp.where(done, x, y)
+
+        pipeline_state = jax.tree.map(where_done, state.info["first_pipeline_state"], state.pipeline_state)
+        obs = where_done(state.info["first_obs"], state.obs)
+        return state.replace(pipeline_state=pipeline_state, obs=obs)
+
+
+class VmapWrapper(Wrapper):
+    """Batch the env over a leading axis."""
+
+    def __init__(self, env: MjxEnv, batch_size: int | None = None):
+        super().__init__(env)
+        self.batch_size = batch_size
+
+    def reset(self, rng: jax.Array) -> State:
+        if self.batch_size is not None and rng.ndim == 1:
+            rng = jax.random.split(rng, self.batch_size)
+        return jax.vmap(self.env.reset)(rng)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        return jax.vmap(self.env.step)(state, action)
+
+
+def wrap_for_training(env: MjxEnv, episode_length: int, action_repeat: int = 1) -> MjxEnv:
+    """Standard training stack: episode -> vmap -> autoreset (brax order)."""
+    env = EpisodeWrapper(env, episode_length, action_repeat)
+    env = VmapWrapper(env)
+    env = AutoResetWrapper(env)
+    return env

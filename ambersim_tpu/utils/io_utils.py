@@ -1,0 +1,69 @@
+"""Model I/O: MJCF/URDF loading with option overrides
+(reference API: ambersim/utils/io_utils.py:139-249).
+
+`load_model_from_file` plays the role of the reference's
+`load_mj_model_from_file` (io_utils.py:139): resolves the path
+global/local/repo-relative, dispatches URDF through the converter, applies
+solver/iteration overrides. `load_model_and_data_from_file` mirrors
+`load_mjx_model_and_data_from_file` (io_utils.py:244), returning the compiled
+device Model plus a fresh Data.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+from ambersim_tpu.core.types import Data, Model
+from ambersim_tpu.utils._internal_utils import _check_filepath
+
+
+def load_model_from_file(
+    filepath: Union[str, Path],
+    force_float: bool = False,
+    solver: Optional[str] = None,
+    iterations: Optional[int] = None,
+    ls_iterations: Optional[int] = None,
+) -> Model:
+    """Load a URDF or MJCF file into a compiled device Model."""
+    from ambersim_tpu.engine.setconst import set_constants
+    from ambersim_tpu.mjcf import compile_spec
+    from ambersim_tpu.mjcf.parser import parse_mjcf
+
+    path = _check_filepath(filepath)
+    if path.endswith(".urdf"):
+        from ambersim_tpu.mjcf.urdf import urdf_to_spec
+
+        spec = urdf_to_spec(path)
+    else:
+        spec = parse_mjcf(path)
+
+    if force_float:
+        from ambersim_tpu.mjcf.urdf import force_float_base
+
+        force_float_base(spec)
+
+    model = set_constants(compile_spec(spec))
+
+    opt_updates = {}
+    if solver is not None:
+        from ambersim_tpu.core.types import SolverType
+
+        opt_updates["solver"] = int(SolverType[solver.upper()])
+    if iterations is not None:
+        opt_updates["iterations"] = int(iterations)
+    if ls_iterations is not None:
+        opt_updates["ls_iterations"] = int(ls_iterations)
+    if opt_updates:
+        model = model.replace(opt=model.opt.replace(**opt_updates))
+    return model
+
+
+def load_model_and_data_from_file(
+    filepath: Union[str, Path], force_float: bool = False, **kwargs
+) -> Tuple[Model, Data]:
+    """Load a model and allocate Data (reference: io_utils.py:244-249)."""
+    from ambersim_tpu.engine import make_data
+
+    model = load_model_from_file(filepath, force_float=force_float, **kwargs)
+    return model, make_data(model)

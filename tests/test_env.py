@@ -1,0 +1,58 @@
+"""Env layer tests: pendulum swingup semantics, wrappers, registry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ambersim_tpu.rl import get_environment, register_environment
+from ambersim_tpu.rl.pendulum import PendulumSwingupConfig, PendulumSwingupEnv
+from ambersim_tpu.rl.wrappers import wrap_for_training
+
+
+def test_env_reset_step():
+    env = PendulumSwingupEnv()
+    assert env.observation_size == 3
+    assert env.action_size == 1
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (3,)
+    np.testing.assert_allclose(
+        state.obs[0] ** 2 + state.obs[1] ** 2, 1.0, atol=1e-5
+    )  # (cos, sin) consistent
+    state2 = jax.jit(env.step)(state, jnp.array([0.5]))
+    assert float(state2.reward) <= 0.0  # quadratic cost is non-positive
+    assert float(state2.pipeline_state.time) > 0.0
+
+
+def test_reward_max_at_upright():
+    env = PendulumSwingupEnv()
+    state = env.reset(jax.random.PRNGKey(0))
+    up = state.pipeline_state.replace(
+        qpos=jnp.array([jnp.pi]), qvel=jnp.zeros(1), ctrl=jnp.zeros(1)
+    )
+    assert abs(float(env.compute_reward(up, {}))) < 1e-8
+    down = up.replace(qpos=jnp.zeros(1))
+    assert float(env.compute_reward(down, {})) < -9.0  # ~ -pi^2
+
+
+def test_wrappers_autoreset_and_episode():
+    env = wrap_for_training(PendulumSwingupEnv(), episode_length=5)
+    rng = jax.random.split(jax.random.PRNGKey(0), 4)
+    state = jax.jit(env.reset)(rng)
+    assert state.obs.shape == (4, 3)
+    step = jax.jit(env.step)
+    for i in range(5):
+        state = step(state, jnp.zeros((4, 1)))
+    np.testing.assert_array_equal(np.asarray(state.done), np.ones(4))  # episode end
+    state = step(state, jnp.zeros((4, 1)))
+    np.testing.assert_array_equal(np.asarray(state.done), np.zeros(4))  # auto-reset
+
+
+def test_registry():
+    register_environment("pendulum_swingup", PendulumSwingupEnv)
+    env = get_environment("pendulum_swingup")
+    assert isinstance(env, PendulumSwingupEnv)
+    try:
+        get_environment("nope")
+        assert False
+    except KeyError:
+        pass

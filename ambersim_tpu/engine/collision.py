@@ -244,7 +244,7 @@ def collision(m: Model, d: Data) -> Data:
             d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
             d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
         )  # (npairs_in_group, ncon_per[, ...])
-        friction, solref, solimp, margin, gap = _mix_params(m, jnp.asarray(g1), jnp.asarray(g2))
+        friction, solref, solimp, margin, gap = _mix_params(m, g1, g2)
         # explicit <pair> overrides
         exp = s.pair_explicit[idx]
         has_exp = exp >= 0

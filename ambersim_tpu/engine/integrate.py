@@ -40,9 +40,11 @@ def euler(m: Model, d: Data) -> Data:
     h = m.opt.timestep
     use_implicit = bool(s.has_damping) and not (m.opt.disableflags & DisableBit.EULERDAMP)
     if use_implicit:
+        from ambersim_tpu.engine import linalg
+
         mh = d.qM + h * jnp.diag(m.dof_damping)
         rhs = h * (d.qM @ d.qacc)
-        dv = jax.scipy.linalg.cho_solve((jax.scipy.linalg.cholesky(mh, lower=True), True), rhs)
+        dv = linalg.solve_pd(mh, rhs)
         qvel = d.qvel + dv
     else:
         qvel = d.qvel + h * d.qacc

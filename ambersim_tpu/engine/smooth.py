@@ -198,13 +198,17 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def factor_m(m: Model, d: Data) -> Data:
-    """Dense Cholesky of qM (batched-friendly; MXU path under vmap)."""
-    return d.replace(qLD=jax.scipy.linalg.cholesky(d.qM, lower=True))
+    """Dense Cholesky of qM (unrolled batch-friendly factorization)."""
+    from ambersim_tpu.engine import linalg
+
+    return d.replace(qLD=linalg.cholesky(d.qM))
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
     """qM^{-1} x via the cached Cholesky factor."""
-    return jax.scipy.linalg.cho_solve((d.qLD, True), x)
+    from ambersim_tpu.engine import linalg
+
+    return linalg.cho_solve(d.qLD, x)
 
 
 def rne(m: Model, d: Data) -> Data:

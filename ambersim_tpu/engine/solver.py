@@ -86,13 +86,20 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
         h = pmp + jnp.sum(jnp.where(quad, d.efc_D * jp * jp, 0.0))
         return g, h
 
+    # scalar Newton on t: unrolled when short (straight-line code fuses into
+    # few kernels), fori_loop when long (bounded compile time)
+    ls_iters = max(m.opt.ls_iterations, 1)
     t = jnp.zeros((), qacc.dtype)
+    if ls_iters <= 8:
+        for _ in range(ls_iters):
+            g, h = phi_grad_hess(t)
+            t = t - g / jnp.maximum(h, 1e-12)
+    else:
+        def ls_body(_, t):
+            g, h = phi_grad_hess(t)
+            return t - g / jnp.maximum(h, 1e-12)
 
-    def body(i, t):
-        g, h = phi_grad_hess(t)
-        return t - g / jnp.maximum(h, 1e-12)
-
-    t = jax.lax.fori_loop(0, max(m.opt.ls_iterations, 1), body, t)
+        t = jax.lax.fori_loop(0, ls_iters, ls_body, t)
     return jnp.clip(t, 0.0, 4.0)
 
 
@@ -117,8 +124,7 @@ def solve(m: Model, d: Data) -> Data:
     # scale-invariant tolerance (mirrors MuJoCo's scaled improvement test)
     tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
 
-    def cond(ctx: _Ctx):
-        return (ctx.it < m.opt.iterations) & (ctx.prev_cost - ctx.cost > tol)
+    from ambersim_tpu.engine import linalg
 
     def body(ctx: _Ctx):
         _, force, quad = _row_costs(m, d, ctx.jar)
@@ -126,25 +132,37 @@ def solve(m: Model, d: Data) -> Data:
         h_diag = jnp.where(quad, d.efc_D, 0.0)
         H = d.qM + jnp.einsum("iv,i,iw->vw", J, h_diag, J)
         H = H + 1e-8 * jnp.eye(s.nv, dtype=dtype)
-        chol = jax.scipy.linalg.cholesky(H, lower=True)
-        p = -jax.scipy.linalg.cho_solve((chol, True), grad)
+        p = -linalg.solve_pd(H, grad)
         jp = J @ p
         t = _line_search(m, d, ctx.qacc, ctx.jar, p, jp)
         qacc = ctx.qacc + t * p
         jar = ctx.jar + t * jp
         new_cost = _total_cost(m, d, qacc, jar)
+        # masked update: keep iterating only while improving beyond tolerance
         improved = new_cost < ctx.cost
-        qacc = jnp.where(improved, qacc, ctx.qacc)
-        jar = jnp.where(improved, jar, ctx.jar)
+        active = ctx.prev_cost - ctx.cost > tol
+        take = improved & active
+        qacc = jnp.where(take, qacc, ctx.qacc)
+        jar = jnp.where(take, jar, ctx.jar)
         return _Ctx(
             qacc=qacc,
             jar=jar,
-            cost=jnp.where(improved, new_cost, ctx.cost),
-            prev_cost=ctx.cost,
+            cost=jnp.where(take, new_cost, ctx.cost),
+            prev_cost=jnp.where(active, ctx.cost, ctx.prev_cost),
             it=ctx.it + 1,
         )
 
-    ctx = jax.lax.while_loop(cond, body, ctx0)
+    # Newton iterations with masked convergence — under huge env batches a
+    # while_loop would run until the slowest env converges anyway, and
+    # straight-line (or scan) code fuses far better on TPU. Unroll only
+    # short iteration counts to bound compile time.
+    iters = max(m.opt.iterations, 1)
+    if iters <= 8:
+        ctx = ctx0
+        for _ in range(iters):
+            ctx = body(ctx)
+    else:
+        ctx = jax.lax.scan(lambda c, _: (body(c), None), ctx0, None, length=iters)[0]
 
     _, force, _ = _row_costs(m, d, ctx.jar)
     qfrc_constraint = J.T @ force

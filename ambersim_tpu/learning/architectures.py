@@ -10,7 +10,18 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen
+
+
+def relu(x: jax.Array) -> jax.Array:
+    """Module-level relu so MLP instances pickle by reference."""
+    return jnp.where(x > 0, x, 0.0)
+
+
+def lecun_uniform(key, shape, dtype=jnp.float32):
+    """Module-level kernel init so MLP instances pickle by reference."""
+    return jax.nn.initializers.lecun_uniform()(key, shape, dtype)
 
 
 class MLP(linen.Module):
@@ -23,8 +34,8 @@ class MLP(linen.Module):
     """
 
     layer_sizes: Sequence[int]
-    activation: Callable[[jax.Array], jax.Array] = linen.relu
-    kernel_init: Callable = jax.nn.initializers.lecun_uniform()
+    activation: Callable[[jax.Array], jax.Array] = relu
+    kernel_init: Callable = lecun_uniform
     activate_final: bool = False
     bias: bool = True
 

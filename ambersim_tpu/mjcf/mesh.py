@@ -1,0 +1,136 @@
+"""Mesh loading, convex hulls, connected components, signed distance.
+
+Covers the roles of trimesh (mesh I/O + hulls) and libigl (signed distance)
+in the reference's pipeline (reference: ambersim/utils/conversion_utils.py:
+69-81, tests/test_model_io.py:168-178), using only numpy + scipy.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+from scipy.spatial import ConvexHull
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal OBJ loader: vertices (n, 3) float64, faces (m, 3) int (triangulated)."""
+    verts: List[List[float]] = []
+    faces: List[List[int]] = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, dtype=np.float64), np.asarray(faces, dtype=np.int64)
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
+        for face in faces:
+            f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
+
+
+def convex_hull(verts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(hull vertices, hull faces) with outward-oriented triangles."""
+    hull = ConvexHull(verts)
+    used = np.unique(hull.simplices)
+    remap = -np.ones(len(verts), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    hverts = verts[used]
+    hfaces = remap[hull.simplices]
+    # orient faces outward (Qhull equations give outward normals)
+    centroid = hverts.mean(axis=0)
+    for i, face in enumerate(hfaces):
+        a, b, c = hverts[face]
+        n = np.cross(b - a, c - a)
+        if np.dot(n, a - centroid) < 0:
+            hfaces[i] = face[::-1]
+    return hverts, hfaces
+
+
+def connected_components(verts: np.ndarray, faces: np.ndarray) -> List[np.ndarray]:
+    """Face index groups of topologically connected submeshes."""
+    parent = np.arange(len(verts))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for f in faces:
+        a = find(f[0])
+        for v in f[1:]:
+            parent[find(v)] = a
+    roots = np.array([find(f[0]) for f in faces])
+    groups = []
+    for r in np.unique(roots):
+        groups.append(np.nonzero(roots == r)[0])
+    return groups
+
+
+def signed_distance(points: np.ndarray, verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Signed distance of points to a CONVEX mesh (negative inside).
+
+    For a convex mesh, sd(p) = max over faces of the signed plane distance
+    when inside; for outside points we fall back to exact distance to the
+    hull surface via face-plane clamping. Adequate for the decomposition
+    parity tests (the reference uses libigl's generic signed distance:
+    tests/test_model_io.py:176-178).
+    """
+    normals = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]], verts[faces[:, 2]] - verts[faces[:, 0]])
+    normals = normals / np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-15)
+    offsets = np.einsum("fi,fi->f", normals, verts[faces[:, 0]])
+    plane_d = points @ normals.T - offsets  # (npoint, nface)
+    inside_sd = plane_d.max(axis=1)  # negative inside (all planes behind)
+    out = np.empty(len(points))
+    for i, p in enumerate(points):
+        if inside_sd[i] <= 0:
+            out[i] = inside_sd[i]
+            continue
+        # outside: exact distance to the triangle set
+        out[i] = np.sqrt(min(_point_tri_d2(p, verts[f]) for f in faces))
+    return out
+
+
+def _point_tri_d2(p: np.ndarray, tri: np.ndarray) -> float:
+    a, b, c = tri
+    ab, ac, ap = b - a, c - a, p - a
+    d1, d2 = ab @ ap, ac @ ap
+    if d1 <= 0 and d2 <= 0:
+        return float(ap @ ap)
+    bp = p - b
+    d3, d4 = ab @ bp, ac @ bp
+    if d3 >= 0 and d4 <= d3:
+        return float(bp @ bp)
+    vc = d1 * d4 - d3 * d2
+    if vc <= 0 and d1 >= 0 and d3 <= 0:
+        t = d1 / (d1 - d3)
+        q = a + t * ab
+        return float((p - q) @ (p - q))
+    cp = p - c
+    d5, d6 = ab @ cp, ac @ cp
+    if d6 >= 0 and d5 <= d6:
+        return float(cp @ cp)
+    vb = d5 * d2 - d1 * d6
+    if vb <= 0 and d2 >= 0 and d6 <= 0:
+        t = d2 / (d2 - d6)
+        q = a + t * ac
+        return float((p - q) @ (p - q))
+    va = d3 * d6 - d5 * d4
+    if va <= 0 and (d4 - d3) >= 0 and (d5 - d6) >= 0:
+        t = (d4 - d3) / ((d4 - d3) + (d5 - d6))
+        q = b + t * (c - b)
+        return float((p - q) @ (p - q))
+    denom = 1.0 / (va + vb + vc)
+    v = vb * denom
+    w = vc * denom
+    q = a + ab * v + ac * w
+    return float((p - q) @ (p - q))

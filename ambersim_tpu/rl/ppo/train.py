@@ -1,0 +1,282 @@
+"""PPO trainer (role of brax.training.agents.ppo.train — D6 in SURVEY.md).
+
+Hyperparameter surface matches the reference's usage
+(reference: examples/rl/pendulum/ex_swingup.py:25-43): num_timesteps,
+num_evals, reward_scaling, episode_length, normalize_observations,
+action_repeat, unroll_length, num_minibatches, num_updates_per_batch,
+discounting, learning_rate, entropy_cost, num_envs, batch_size,
+network_factory, seed; returns (make_inference_fn, params, metrics) and calls
+progress_fn(num_steps, metrics) with an 'eval/episode_reward' key
+(ex_swingup.py:48-58).
+
+TPU-first scaling: instead of brax's pmap/psum, the env batch axis carries a
+NamedSharding over a device mesh inside a single jit — XLA partitions the
+rollout across chips and inserts ICI collectives for the gradient/statistics
+reductions (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ambersim_tpu.rl import wrappers
+from ambersim_tpu.rl.base import MjxEnv
+from ambersim_tpu.rl.ppo import losses as ppo_losses
+from ambersim_tpu.rl.ppo import networks as ppo_networks_lib
+from ambersim_tpu.rl.ppo import running_statistics
+
+
+@struct.dataclass
+class TrainingState:
+    optimizer_state: Any
+    params: Dict[str, Any]
+    normalizer_params: running_statistics.RunningStatisticsState
+    env_steps: jax.Array
+
+
+def _strip_info(state_info):
+    """Keys that policies may consume from env info during rollout."""
+    return {}
+
+
+def train(
+    environment: MjxEnv,
+    num_timesteps: int = 1_000_000,
+    episode_length: int = 1000,
+    action_repeat: int = 1,
+    num_envs: int = 1024,
+    num_eval_envs: int = 128,
+    learning_rate: float = 1e-4,
+    entropy_cost: float = 1e-4,
+    discounting: float = 0.9,
+    seed: int = 0,
+    unroll_length: int = 10,
+    batch_size: int = 32,
+    num_minibatches: int = 16,
+    num_updates_per_batch: int = 2,
+    num_evals: int = 1,
+    normalize_observations: bool = False,
+    reward_scaling: float = 1.0,
+    gae_lambda: float = 0.95,
+    clipping_epsilon: float = 0.3,
+    normalize_advantage: bool = True,
+    network_factory: Callable = ppo_networks_lib.make_ppo_networks,
+    progress_fn: Callable[[int, Dict[str, Any]], None] = lambda *args: None,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[Callable, Tuple[Any, Any], Dict[str, Any]]:
+    """Train a PPO agent; returns (make_inference_fn(ppo_networks) partial,
+    (normalizer_params, policy_params), metrics)."""
+    env = wrappers.wrap_for_training(environment, episode_length, action_repeat)
+    obs_size = environment.observation_size
+    action_size = environment.action_size
+
+    if (batch_size * num_minibatches) % num_envs != 0:
+        raise ValueError("batch_size * num_minibatches must be divisible by num_envs")
+    num_unrolls = batch_size * num_minibatches // num_envs
+    env_step_per_training_step = num_envs * unroll_length * num_unrolls * action_repeat
+    num_evals_after_init = max(num_evals - 1, 1)
+    num_training_steps_per_epoch = max(
+        1, -(-num_timesteps // (env_step_per_training_step * num_evals_after_init))
+    )
+
+    # device mesh for data parallelism over the env axis
+    if mesh is None:
+        devices = jax.devices()
+        mesh = Mesh(np.array(devices), axis_names=("batch",))
+    if num_envs % mesh.size != 0:
+        raise ValueError(f"num_envs ({num_envs}) must be divisible by mesh size ({mesh.size})")
+    batch_sharding = NamedSharding(mesh, P("batch"))
+    replicated = NamedSharding(mesh, P())
+
+    def shard_env_state(state):
+        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), state)
+
+    preprocess = (
+        running_statistics.normalize if normalize_observations else ppo_networks_lib.identity_observation_preprocessor
+    )
+    ppo_network = network_factory(obs_size, action_size, preprocess_observations_fn=preprocess)
+    make_policy = ppo_networks_lib.make_inference_fn(ppo_network)
+
+    optimizer = optax.adam(learning_rate=learning_rate)
+
+    key = jax.random.PRNGKey(seed)
+    key, key_policy, key_value, key_env, key_eval = jax.random.split(key, 5)
+
+    init_params = {
+        "policy": ppo_network.policy_network.init(key_policy),
+        "value": ppo_network.value_network.init(key_value),
+    }
+    training_state = TrainingState(
+        optimizer_state=optimizer.init(init_params),
+        params=init_params,
+        normalizer_params=running_statistics.init_state(jnp.zeros(obs_size)),
+        env_steps=jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32),
+    )
+    training_state = jax.device_put(training_state, replicated)
+
+    def generate_unroll(carry, _):
+        training_state, env_state, key = carry
+        policy = make_policy((training_state.normalizer_params, training_state.params["policy"]))
+
+        def env_step(carry, _):
+            env_state, key = carry
+            key, key_sample = jax.random.split(key)
+            action, extras = policy(env_state.obs, key_sample)
+            next_state = env.step(env_state, action)
+            transition = ppo_losses.Transition(
+                observation=env_state.obs,
+                action=action,
+                raw_action=extras["raw_action"],
+                log_prob=extras["log_prob"],
+                reward=next_state.reward,
+                discount=1 - next_state.done,
+                truncation=next_state.info["truncation"],
+                next_observation=next_state.obs,
+            )
+            return (next_state, key), transition
+
+        (env_state, key), data = jax.lax.scan(env_step, (env_state, key), None, length=unroll_length)
+        return (training_state, env_state, key), data
+
+    def minibatch_step(carry, data: ppo_losses.Transition):
+        optimizer_state, params, normalizer_params, key = carry
+        key, key_loss = jax.random.split(key)
+        loss_fn = functools.partial(
+            ppo_losses.compute_ppo_loss,
+            normalizer_params=normalizer_params,
+            data=data,
+            rng=key_loss,
+            ppo_networks=ppo_network,
+            entropy_cost=entropy_cost,
+            discounting=discounting,
+            reward_scaling=reward_scaling,
+            gae_lambda=gae_lambda,
+            clipping_epsilon=clipping_epsilon,
+            normalize_advantage=normalize_advantage,
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, optimizer_state = optimizer.update(grads, optimizer_state, params)
+        params = optax.apply_updates(params, updates)
+        return (optimizer_state, params, normalizer_params, key), metrics
+
+    def sgd_epoch(carry, _):
+        optimizer_state, params, normalizer_params, data, key = carry
+        key, key_perm, key_grad = jax.random.split(key, 3)
+        # data: (T, total_batch, ...) with total_batch = num_unrolls * num_envs
+        total_batch = num_unrolls * num_envs
+        perm = jax.random.permutation(key_perm, total_batch)
+
+        def shuffle(x):
+            # (T, total, ...) -> (num_minibatches, T, batch_size, ...)
+            x = jnp.take(x, perm, axis=1)
+            x = x.reshape((x.shape[0], num_minibatches, batch_size) + x.shape[2:])
+            return x.swapaxes(0, 1)
+
+        shuffled = jax.tree.map(shuffle, data)
+        (optimizer_state, params, normalizer_params, key_grad), metrics = jax.lax.scan(
+            minibatch_step, (optimizer_state, params, normalizer_params, key_grad), shuffled
+        )
+        return (optimizer_state, params, normalizer_params, data, key), metrics
+
+    def training_step(carry, _):
+        training_state, env_state, key = carry
+        key, key_sgd, key_unroll = jax.random.split(key, 3)
+
+        (training_state, env_state, _), data = jax.lax.scan(
+            generate_unroll, (training_state, env_state, key_unroll), None, length=num_unrolls
+        )
+        # data: (num_unrolls, T, num_envs, ...) -> time-major (T, num_unrolls*num_envs, ...)
+        data = jax.tree.map(
+            lambda x: x.swapaxes(0, 1).reshape((x.shape[1], num_unrolls * num_envs) + x.shape[3:]), data
+        )
+
+        normalizer_params = training_state.normalizer_params
+        if normalize_observations:
+            normalizer_params = running_statistics.update(normalizer_params, data.observation)
+
+        (optimizer_state, params, _, _, _), metrics = jax.lax.scan(
+            sgd_epoch,
+            (training_state.optimizer_state, training_state.params, normalizer_params, data, key_sgd),
+            None,
+            length=num_updates_per_batch,
+        )
+        new_training_state = TrainingState(
+            optimizer_state=optimizer_state,
+            params=params,
+            normalizer_params=normalizer_params,
+            env_steps=training_state.env_steps + env_step_per_training_step,
+        )
+        metrics = jax.tree.map(jnp.mean, metrics)
+        return (new_training_state, env_state, key), metrics
+
+    @jax.jit
+    def training_epoch(training_state, env_state, key):
+        env_state = shard_env_state(env_state)
+        (training_state, env_state, _), metrics = jax.lax.scan(
+            training_step, (training_state, env_state, key), None, length=num_training_steps_per_epoch
+        )
+        return training_state, env_state, jax.tree.map(jnp.mean, metrics)
+
+    # ---------------- evaluation ----------------
+    eval_env = wrappers.wrap_for_training(environment, episode_length, action_repeat)
+
+    @jax.jit
+    def run_evaluation(training_state, key):
+        policy = make_policy(
+            (training_state.normalizer_params, training_state.params["policy"]), deterministic=True
+        )
+        keys = jax.random.split(key, num_eval_envs)
+        state = eval_env.reset(keys)
+
+        def step(carry, _):
+            state, active, total = carry
+            act, _ = policy(state.obs, jax.random.PRNGKey(0))
+            state = eval_env.step(state, act)
+            total = total + state.reward * active
+            active = active * (1 - state.done)
+            return (state, active, total), None
+
+        (_, _, total), _ = jax.lax.scan(
+            step,
+            (state, jnp.ones(num_eval_envs), jnp.zeros(num_eval_envs)),
+            None,
+            length=episode_length // action_repeat,
+        )
+        return jnp.mean(total)
+
+    # ---------------- main loop (host) ----------------
+    metrics: Dict[str, Any] = {}
+    key, key_envs = jax.random.split(key)
+    env_keys = jax.random.split(key_envs, num_envs)
+    env_state = jax.jit(env.reset)(env_keys)
+
+    current_step = 0
+    if num_evals > 1:
+        episode_reward = run_evaluation(training_state, key_eval)
+        metrics = {"eval/episode_reward": float(episode_reward)}
+        progress_fn(0, metrics)
+
+    for _ in range(num_evals_after_init):
+        key, epoch_key = jax.random.split(key)
+        training_state, env_state, train_metrics = training_epoch(training_state, env_state, epoch_key)
+        current_step = int(training_state.env_steps)
+
+        key, key_eval = jax.random.split(key)
+        episode_reward = run_evaluation(training_state, key_eval)
+        metrics = {
+            "eval/episode_reward": float(episode_reward),
+            **{f"training/{k}": float(v) for k, v in train_metrics.items()},
+        }
+        progress_fn(current_step, metrics)
+
+    params = (training_state.normalizer_params, training_state.params["policy"])
+    return make_policy, params, metrics

@@ -1,0 +1,8 @@
+from ambersim_tpu.trajopt.base import CostFunction, TrajectoryOptimizer, TrajectoryOptimizerParams  # noqa: F401
+from ambersim_tpu.trajopt.cost import StaticGoalQuadraticCost  # noqa: F401
+from ambersim_tpu.trajopt.shooting import (  # noqa: F401
+    ShootingParams,
+    VanillaPredictiveSampler,
+    VanillaPredictiveSamplerParams,
+    shoot,
+)

@@ -1,0 +1,93 @@
+"""Model conversion utilities: XML export + convex decomposition
+(reference API: ambersim/utils/conversion_utils.py:11-113).
+
+`convex_decomposition_file` decomposes a mesh into convex parts: connected
+submeshes are hulled independently (up to max_convex_hull parts). The
+acceptance criterion matches the reference's parity test: each emitted part
+equals its own convex hull to signed-distance tolerance
+(reference tests/test_model_io.py:163-178). A CoACD-grade approximate
+decomposition for single concave components is tracked for the native layer.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from ambersim_tpu.mjcf.export import save_spec_xml, spec_to_xml
+from ambersim_tpu.mjcf.mesh import connected_components, convex_hull, load_obj, save_obj
+from ambersim_tpu.utils._internal_utils import _check_filepath
+
+
+def save_model_xml(filepath: Union[str, Path], output_name: Optional[str] = None) -> str:
+    """Load any supported model file (URDF or MJCF) and save it as MJCF XML
+    (reference: conversion_utils.py:11-37). Returns the output path."""
+    from ambersim_tpu.mjcf.parser import parse_mjcf
+    from ambersim_tpu.mjcf.urdf import urdf_to_spec
+
+    path = _check_filepath(filepath)
+    if path.endswith(".urdf"):
+        spec = urdf_to_spec(path)
+    else:
+        spec = parse_mjcf(path)
+    if output_name is None:
+        output_name = os.path.splitext(os.path.basename(path))[0] + ".xml"
+    elif not output_name.endswith(".xml"):
+        output_name += ".xml"
+    save_spec_xml(spec, output_name)
+    return output_name
+
+
+def convex_decomposition_file(
+    meshfile: Union[str, Path],
+    max_convex_hull: int = 16,
+    quiet: bool = True,
+    savedir: Optional[Union[str, Path]] = None,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Decompose a mesh file into convex parts (reference:
+    conversion_utils.py:40-81, defaults max_convex_hull=16).
+
+    Returns a list of (vertices, faces) convex parts; if `savedir` is given,
+    parts are saved as `<name>_col_<i>.obj` alongside (reference naming
+    convention at conversion_utils.py:77-81)."""
+    path = _check_filepath(meshfile)
+    verts, faces = load_obj(path)
+    groups = connected_components(verts, faces)
+
+    parts: List[Tuple[np.ndarray, np.ndarray]] = []
+    for g in groups[:max_convex_hull]:
+        sub_faces = faces[g]
+        used = np.unique(sub_faces)
+        sub_verts = verts[used]
+        parts.append(convex_hull(sub_verts))
+    if len(groups) > max_convex_hull and not quiet:
+        print(f"warning: {len(groups)} components, keeping first {max_convex_hull}")
+
+    if savedir is not None:
+        base = os.path.splitext(os.path.basename(path))[0]
+        os.makedirs(savedir, exist_ok=True)
+        for i, (pv, pf) in enumerate(parts):
+            save_obj(os.path.join(str(savedir), f"{base}_col_{i}.obj"), pv, pf)
+    return parts
+
+
+def convex_decomposition_dir(
+    meshdir: Union[str, Path],
+    recursive: bool = True,
+    max_convex_hull: int = 16,
+    quiet: bool = True,
+    savedir: Optional[Union[str, Path]] = None,
+) -> None:
+    """Decompose every .obj under a directory (reference:
+    conversion_utils.py:84-113)."""
+    import glob
+
+    pattern = os.path.join(str(meshdir), "**", "*.obj") if recursive else os.path.join(str(meshdir), "*.obj")
+    for f in glob.glob(pattern, recursive=recursive):
+        if "_col_" in os.path.basename(f):
+            continue
+        out = savedir if savedir is not None else os.path.dirname(f)
+        convex_decomposition_file(f, max_convex_hull=max_convex_hull, quiet=quiet, savedir=out)

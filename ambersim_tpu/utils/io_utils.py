@@ -24,8 +24,17 @@ def load_model_from_file(
     solver: Optional[str] = None,
     iterations: Optional[int] = None,
     ls_iterations: Optional[int] = None,
+    device=None,
 ) -> Model:
-    """Load a URDF or MJCF file into a compiled device Model."""
+    """Load a URDF or MJCF file into a compiled Model.
+
+    Model leaves stay as host numpy arrays by default: close over the model
+    in your jitted rollout/training function and the constants are baked into
+    the executable with zero transfers (the right pattern on a tunneled TPU,
+    where each individual host<->device transfer costs seconds). Pass
+    `device=` to upload the model once as a single flat buffer instead
+    (core.device.put_model) if you want to pass it as a jit *argument*."""
+    from ambersim_tpu.core.device import put_model
     from ambersim_tpu.engine.setconst import set_constants
     from ambersim_tpu.mjcf import compile_spec
     from ambersim_tpu.mjcf.parser import parse_mjcf
@@ -56,6 +65,8 @@ def load_model_from_file(
         opt_updates["ls_iterations"] = int(ls_iterations)
     if opt_updates:
         model = model.replace(opt=model.opt.replace(**opt_updates))
+    if device is not None:
+        model = put_model(model, device)
     return model
 
 

@@ -1,0 +1,66 @@
+"""PPO trainer tests: smoke run with the reference's hyperparameter surface,
+running statistics correctness, checkpoint round trip."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.io import load_params, save_params
+from ambersim_tpu.rl.pendulum import PendulumSwingupEnv
+from ambersim_tpu.rl.ppo import train
+from ambersim_tpu.rl.ppo import running_statistics
+
+
+def test_running_statistics_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((50, 4)).astype(np.float32) * 3 + 1
+    state = running_statistics.init_state(jnp.zeros(4))
+    state = running_statistics.update(state, jnp.asarray(data[:30]))
+    state = running_statistics.update(state, jnp.asarray(data[30:]))
+    np.testing.assert_allclose(np.asarray(state.mean), data.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.std), data.std(0), rtol=1e-4)
+    normed = running_statistics.normalize(jnp.asarray(data), state)
+    np.testing.assert_allclose(np.asarray(normed).mean(0), 0.0, atol=1e-5)
+
+
+def test_ppo_smoke_and_checkpoint(tmp_path):
+    """Tiny-budget train run: full pipeline executes, metrics finite,
+    policy usable after checkpoint round trip."""
+    env = PendulumSwingupEnv()
+    progress_calls = []
+
+    make_policy, params, metrics = train(
+        environment=env,
+        num_timesteps=2048,
+        num_evals=2,
+        reward_scaling=0.1,
+        episode_length=50,
+        normalize_observations=True,
+        action_repeat=1,
+        unroll_length=8,
+        num_minibatches=4,
+        num_updates_per_batch=2,
+        discounting=0.95,
+        learning_rate=3e-4,
+        entropy_cost=1e-3,
+        num_envs=16,
+        num_eval_envs=8,
+        batch_size=16,
+        seed=0,
+        progress_fn=lambda step, m: progress_calls.append((step, m)),
+    )
+    assert len(progress_calls) == 2
+    assert "eval/episode_reward" in progress_calls[-1][1]
+    assert np.isfinite(progress_calls[-1][1]["eval/episode_reward"])
+    assert np.isfinite(metrics["training/total_loss"])
+
+    # checkpoint round trip (reference ex_save_and_load.py:85-114 flow)
+    path = tmp_path / "params.pkl"
+    save_params(path, params)
+    params2 = load_params(path)
+    policy = make_policy(params2, deterministic=True)
+    obs = jnp.zeros(3)
+    action, _ = jax.jit(policy)(obs, jax.random.PRNGKey(0))
+    assert action.shape == (1,)
+    assert np.all(np.abs(np.asarray(action)) <= 1.0)

@@ -182,50 +182,51 @@ def make_constraint(m: Model, d: Data) -> Data:
             efc_active = efc_active.at[sl].set(active)
             row += nrow
 
-    # ---------------- dof friction loss ----------------
+    # ---------------- dof friction loss (vectorized over rows) ----------------
     fl_enabled = not (m.opt.disableflags & DisableBit.FRICTIONLOSS)
-    for i, dof in enumerate(s.friction_dofid):
-        dof = int(dof)
-        Jrow = jnp.zeros(nv, dtype).at[dof].set(1.0)
-        k, b, imp = _kbi(m, m.dof_solref[dof], m.dof_solimp[dof], jnp.zeros((), dtype))
-        efc_J = efc_J.at[row].set(Jrow)
-        efc_aref = efc_aref.at[row].set(-b * d.qvel[dof])
-        efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[dof], _MINVAL))
-        efc_fl = efc_fl.at[row].set(m.dof_frictionloss[dof])
-        efc_active = efc_active.at[row].set(fl_enabled)
-        row += 1
+    if s.nf:
+        dofs = s.friction_dofid  # static (nf,)
+        rows = np.arange(row, row + s.nf)
+        k, b, imp = _kbi(m, m.dof_solref[dofs], m.dof_solimp[dofs], jnp.zeros((s.nf,), dtype))
+        efc_J = efc_J.at[rows, dofs].set(1.0)
+        efc_aref = efc_aref.at[rows].set(-b * d.qvel[dofs])
+        efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[dofs], _MINVAL))
+        efc_fl = efc_fl.at[rows].set(m.dof_frictionloss[dofs])
+        efc_active = efc_active.at[rows].set(fl_enabled)
+        row += s.nf
 
-    # ---------------- joint limits ----------------
+    # ---------------- joint limits (vectorized over rows) ----------------
     lim_enabled = not (m.opt.disableflags & DisableBit.LIMIT)
-    for j in s.limit_jntid:
-        j = int(j)
-        qa, da = int(s.jnt_qposadr[j]), int(s.jnt_dofadr[j])
-        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
-        dist_lo = d.qpos[qa] - lo
-        dist_hi = hi - d.qpos[qa]
+    if s.nl:
+        jids = s.limit_jntid  # static (nl,)
+        qas = s.jnt_qposadr[jids]
+        das = s.jnt_dofadr[jids]
+        rows = np.arange(row, row + s.nl)
+        lo, hi = m.jnt_range[jids, 0], m.jnt_range[jids, 1]
+        q = d.qpos[qas]
+        dist_lo, dist_hi = q - lo, hi - q
         lower = dist_lo < dist_hi
         dist = jnp.where(lower, dist_lo, dist_hi)
         sign = jnp.where(lower, 1.0, -1.0)
-        pos = dist - m.jnt_margin[j]
-        Jrow = jnp.zeros(nv, dtype).at[da].set(sign)
-        k, b, imp = _kbi(m, m.jnt_solref[j], m.jnt_solimp[j], pos)
-        jqvel = sign * d.qvel[da]
-        efc_J = efc_J.at[row].set(Jrow)
-        efc_pos = efc_pos.at[row].set(pos)
-        efc_margin = efc_margin.at[row].set(m.jnt_margin[j])
-        efc_aref = efc_aref.at[row].set(-b * jqvel - k * imp * pos)
-        efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[da], _MINVAL))
-        efc_active = efc_active.at[row].set(lim_enabled & (dist < m.jnt_margin[j]))
-        row += 1
+        margin = m.jnt_margin[jids]
+        pos = dist - margin
+        k, b, imp = _kbi(m, m.jnt_solref[jids], m.jnt_solimp[jids], pos)
+        jqvel = sign * d.qvel[das]
+        efc_J = efc_J.at[rows, das].set(sign)
+        efc_pos = efc_pos.at[rows].set(pos)
+        efc_margin = efc_margin.at[rows].set(margin)
+        efc_aref = efc_aref.at[rows].set(-b * jqvel - k * imp * pos)
+        efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[das], _MINVAL))
+        efc_active = efc_active.at[rows].set(lim_enabled & (dist < margin))
+        row += s.nl
 
-    # ---------------- contacts (pyramidal) ----------------
+    # ---------------- contacts (pyramidal, vectorized per condim group) -----
     con_enabled = not (m.opt.disableflags & DisableBit.CONTACT)
     if s.ncon and con_enabled:
         c = d.contact
         signed_sup = jnp.asarray(_con_support(s), dtype)  # (ncon, nv)
         jacp = _point_jac(m, d, c.pos, signed_sup)  # (ncon, nv, 3)
-        # project on frame rows: (ncon, 3, nv)
-        jframe = jnp.einsum("cij,cvj->civ", c.frame, jacp)
+        jframe = jnp.einsum("cij,cvj->civ", c.frame, jacp)  # (ncon, 3, nv)
         b1 = s.geom_bodyid[s.con_geom1]
         b2 = s.geom_bodyid[s.con_geom2]
         invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
@@ -235,36 +236,41 @@ def make_constraint(m: Model, d: Data) -> Data:
         D_c = imp / jnp.maximum((1 - imp) * diag, _MINVAL)
         active_c = c.dist < c.includemargin
 
-        for slot in range(s.ncon):
-            cdim = int(s.con_dim[slot])
-            adr = int(s.con_efcadr[slot])
-            jn = jframe[slot, 0]
+        need_rot = bool((s.con_dim > 3).any())
+        jframe_rot = (
+            jnp.einsum("cij,cvj->civ", c.frame, _rot_jac(m, d, signed_sup)) if need_rot else None
+        )
+
+        # group slots by condim: one fully-batched row construction per group
+        for cdim in sorted(set(int(x) for x in s.con_dim)):
+            slots = np.nonzero(s.con_dim == cdim)[0]
+            nrow = 1 if cdim == 1 else 2 * (cdim - 1)
+            # static efc row indices (nrow per slot)
+            row_idx = (s.con_efcadr[slots][:, None] + np.arange(nrow)[None, :]).reshape(-1)
+            jn = jframe[slots, 0]  # (S, nv)
             if cdim == 1:
-                efc_J = efc_J.at[adr].set(jn)
-                efc_pos = efc_pos.at[adr].set(c.dist[slot])
-                efc_margin = efc_margin.at[adr].set(c.includemargin[slot])
-                jqvel = jn @ d.qvel
-                efc_aref = efc_aref.at[adr].set(-b[slot] * jqvel - k[slot] * imp[slot] * pos_c[slot])
-                efc_D = efc_D.at[adr].set(D_c[slot])
-                efc_active = efc_active.at[adr].set(active_c[slot])
+                rows_J = jn[:, None, :]
             else:
-                r = adr
-                for fdim in range(1, cdim):
-                    mu = c.friction[slot, fdim - 1]
-                    if fdim < 3:
-                        jt = jframe[slot, fdim]
-                    else:  # torsional (normal) / rolling (t1, t2) rotational rows
-                        jt = _rot_jac(m, d, signed_sup)[slot] @ c.frame[slot, fdim - 3]
-                    for sign in (1.0, -1.0):
-                        Jrow = jn + sign * mu * jt
-                        jqvel = Jrow @ d.qvel
-                        efc_J = efc_J.at[r].set(Jrow)
-                        efc_pos = efc_pos.at[r].set(c.dist[slot])
-                        efc_margin = efc_margin.at[r].set(c.includemargin[slot])
-                        efc_aref = efc_aref.at[r].set(-b[slot] * jqvel - k[slot] * imp[slot] * pos_c[slot])
-                        efc_D = efc_D.at[r].set(D_c[slot])
-                        efc_active = efc_active.at[r].set(active_c[slot])
-                        r += 1
+                fidx = np.repeat(np.arange(1, cdim), 2)  # e.g. [1,1,2,2,...]
+                signs = jnp.asarray(np.tile([1.0, -1.0], cdim - 1), dtype)  # (nrow,)
+                jt_cols = []
+                for f in fidx:
+                    if f < 3:
+                        jt_cols.append(jframe[slots, f])
+                    else:  # torsional / rolling rows use the rotational jacobian
+                        jt_cols.append(jframe_rot[slots, f - 3])
+                jt = jnp.stack(jt_cols, axis=1)  # (S, nrow, nv)
+                mu = c.friction[slots][:, fidx - 1]  # (S, nrow)
+                rows_J = jn[:, None, :] + signs[None, :, None] * mu[..., None] * jt
+            jqvel = jnp.einsum("srv,v->sr", rows_J, d.qvel)  # (S, nrow)
+            aref_rows = -b[slots][:, None] * jqvel - (k[slots] * imp[slots] * pos_c[slots])[:, None]
+            rep = lambda x: jnp.repeat(x[slots][:, None], nrow, axis=1).reshape(-1)  # noqa: E731
+            efc_J = efc_J.at[row_idx].set(rows_J.reshape(-1, nv))
+            efc_pos = efc_pos.at[row_idx].set(rep(c.dist))
+            efc_margin = efc_margin.at[row_idx].set(rep(c.includemargin))
+            efc_aref = efc_aref.at[row_idx].set(aref_rows.reshape(-1))
+            efc_D = efc_D.at[row_idx].set(rep(D_c))
+            efc_active = efc_active.at[row_idx].set(jnp.repeat(active_c[slots][:, None], nrow, axis=1).reshape(-1))
 
     return d.replace(
         efc_J=efc_J,

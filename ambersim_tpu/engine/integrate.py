@@ -16,19 +16,35 @@ from ambersim_tpu.core.types import Data, DisableBit, JointType, Model
 
 
 def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
-    """qpos <- qpos (+) qvel * dt, respecting quaternion manifolds."""
+    """qpos <- qpos (+) qvel * dt, respecting quaternion manifolds.
+    Vectorized per joint-type group (static schedule)."""
+    import numpy as np
+
+    from ambersim_tpu.engine.schedule import tree_schedule
+
     s = m.skel
+    sched = tree_schedule(s)
     out = qpos
-    for j in range(s.njnt):
-        jtype = JointType(int(s.jnt_type[j]))
-        qa, da = int(s.jnt_qposadr[j]), int(s.jnt_dofadr[j])
+    for jtype_int, jids in sched.jnt_by_type.items():
+        jtype = JointType(jtype_int)
+        qa = s.jnt_qposadr[jids]
+        da = s.jnt_dofadr[jids]
         if jtype == JointType.FREE:
-            out = out.at[qa : qa + 3].add(qvel[da : da + 3] * dt)
-            q = am.quat_integrate(qpos[qa + 3 : qa + 7], qvel[da + 3 : da + 6], dt)
-            out = out.at[qa + 3 : qa + 7].set(q)
+            idx_t = qa[:, None] + np.arange(3)[None, :]
+            out = out.at[idx_t].add(qvel[da[:, None] + np.arange(3)[None, :]] * dt)
+            q = am.quat_integrate(
+                qpos[qa[:, None] + (3 + np.arange(4))[None, :]],
+                qvel[da[:, None] + (3 + np.arange(3))[None, :]],
+                dt,
+            )
+            out = out.at[qa[:, None] + (3 + np.arange(4))[None, :]].set(q)
         elif jtype == JointType.BALL:
-            q = am.quat_integrate(qpos[qa : qa + 4], qvel[da : da + 3], dt)
-            out = out.at[qa : qa + 4].set(q)
+            q = am.quat_integrate(
+                qpos[qa[:, None] + np.arange(4)[None, :]],
+                qvel[da[:, None] + np.arange(3)[None, :]],
+                dt,
+            )
+            out = out.at[qa[:, None] + np.arange(4)[None, :]].set(q)
         else:
             out = out.at[qa].add(qvel[da] * dt)
     return out

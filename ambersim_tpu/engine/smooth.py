@@ -6,10 +6,11 @@ runs (reference: ambersim/rl/base.py:93 `mjx.step`; stage list documented in
 SURVEY.md §3.4), with MuJoCo-compatible semantics verified against the host
 oracle per stage.
 
-TPU-first structure: the body loop is unrolled at trace time over the static
-skeleton (parents precede children in DFS order), producing straight-line XLA
-that fuses; the mass matrix is assembled with two einsums + a static ancestor
-mask instead of sparse composite propagation; everything batches with vmap.
+TPU-first structure: tree propagation is LEVEL-VECTORIZED over a static
+schedule (engine/schedule.py) — op count scales with tree depth, not body
+count; order-free quantities (cdof, springs, position integration) are
+vectorized per joint-type group; the mass matrix is two einsums + a static
+ancestor mask. Everything batches with vmap.
 
 All functions take (Model, Data) for a SINGLE env and return updated Data.
 """
@@ -18,58 +19,64 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ambersim_tpu.core import math as am
-from ambersim_tpu.core.types import BiasType, Data, DisableBit, DynType, GainType, JointType, Model
+from ambersim_tpu.core.types import BiasType, Data, DisableBit, GainType, JointType, Model
+from ambersim_tpu.engine.schedule import tree_schedule
+
+
+def _take(x: jax.Array, base: np.ndarray, width: int) -> jax.Array:
+    """Gather x[base + 0..width-1] -> (len(base), width) with static indices."""
+    return x[base[:, None] + np.arange(width)[None, :]]
 
 
 def kinematics(m: Model, d: Data) -> Data:
     """Forward kinematics: joint -> cartesian body/geom/joint frames."""
     s = m.skel
-    xpos = [jnp.zeros(3, d.qpos.dtype) for _ in range(s.nbody)]
-    xquat = [jnp.array([1.0, 0, 0, 0], dtype=d.qpos.dtype) for _ in range(s.nbody)]
-    xanchor = [None] * s.njnt
-    xaxis = [None] * s.njnt
+    sched = tree_schedule(s)
+    dtype = d.qpos.dtype
 
-    for b in range(1, s.nbody):
-        p = int(s.body_parentid[b])
-        pos = xpos[p] + am.rotate(m.body_pos[b], xquat[p])
-        quat = am.mul_quat(xquat[p], m.body_quat[b])
-        jadr, jnum = int(s.body_jntadr[b]), int(s.body_jntnum[b])
-        for j in range(jadr, jadr + jnum):
-            jtype = JointType(int(s.jnt_type[j]))
-            qa = int(s.jnt_qposadr[j])
-            if jtype == JointType.FREE:
-                pos = d.qpos[qa : qa + 3]
-                quat = am.normalize_quat(d.qpos[qa + 3 : qa + 7])
-                xanchor[j] = pos
-                xaxis[j] = am.rotate(m.jnt_axis[j], quat)
-            elif jtype == JointType.BALL:
-                qloc = am.normalize_quat(d.qpos[qa : qa + 4])
-                anchor = pos + am.rotate(m.jnt_pos[j], quat)
-                quat = am.mul_quat(quat, qloc)
-                pos = anchor - am.rotate(m.jnt_pos[j], quat)
-                xanchor[j] = anchor
-                xaxis[j] = am.rotate(m.jnt_axis[j], quat)
-            elif jtype == JointType.HINGE:
-                angle = d.qpos[qa] - m.qpos0[qa]
-                anchor = pos + am.rotate(m.jnt_pos[j], quat)
-                qloc = am.axis_angle_to_quat(m.jnt_axis[j], angle)
-                quat = am.mul_quat(quat, qloc)
-                pos = anchor - am.rotate(m.jnt_pos[j], quat)
-                xanchor[j] = anchor
-                xaxis[j] = am.rotate(m.jnt_axis[j], quat)
-            else:  # SLIDE
-                pos = pos + am.rotate(m.jnt_axis[j], quat) * (d.qpos[qa] - m.qpos0[qa])
-                xanchor[j] = pos + am.rotate(m.jnt_pos[j], quat)
-                xaxis[j] = am.rotate(m.jnt_axis[j], quat)
-        xpos[b] = pos
-        xquat[b] = am.normalize_quat(quat)
+    xpos = jnp.zeros((s.nbody, 3), dtype)
+    xquat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (s.nbody, 1))
+    xanchor = jnp.zeros((s.njnt, 3), dtype)
+    xaxis = jnp.zeros((s.njnt, 3), dtype)
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
-    xanchor_a = jnp.stack(xanchor) if s.njnt else jnp.zeros((0, 3), xpos.dtype)
-    xaxis_a = jnp.stack(xaxis) if s.njnt else jnp.zeros((0, 3), xpos.dtype)
+    for level in sched.levels:
+        for sig, ids, parents, jnt_slots in level:
+            pos = xpos[parents] + am.rotate(m.body_pos[ids], xquat[parents])
+            quat = am.mul_quat(xquat[parents], m.body_quat[ids])
+            for slot, jtype_int in enumerate(sig):
+                jids = jnt_slots[slot]
+                jtype = JointType(jtype_int)
+                qa = s.jnt_qposadr[jids]
+                if jtype == JointType.FREE:
+                    pos = _take(d.qpos, qa, 3)
+                    quat = am.normalize_quat(_take(d.qpos, qa + 3, 4))
+                    xanchor = xanchor.at[jids].set(pos)
+                    xaxis = xaxis.at[jids].set(am.rotate(m.jnt_axis[jids], quat))
+                elif jtype == JointType.BALL:
+                    qloc = am.normalize_quat(_take(d.qpos, qa, 4))
+                    anchor = pos + am.rotate(m.jnt_pos[jids], quat)
+                    quat = am.mul_quat(quat, qloc)
+                    pos = anchor - am.rotate(m.jnt_pos[jids], quat)
+                    xanchor = xanchor.at[jids].set(anchor)
+                    xaxis = xaxis.at[jids].set(am.rotate(m.jnt_axis[jids], quat))
+                elif jtype == JointType.HINGE:
+                    angle = d.qpos[qa] - m.qpos0[qa]
+                    anchor = pos + am.rotate(m.jnt_pos[jids], quat)
+                    qloc = am.axis_angle_to_quat(m.jnt_axis[jids], angle)
+                    quat = am.mul_quat(quat, qloc)
+                    pos = anchor - am.rotate(m.jnt_pos[jids], quat)
+                    xanchor = xanchor.at[jids].set(anchor)
+                    xaxis = xaxis.at[jids].set(am.rotate(m.jnt_axis[jids], quat))
+                else:  # SLIDE
+                    ax = am.rotate(m.jnt_axis[jids], quat)
+                    pos = pos + ax * (d.qpos[qa] - m.qpos0[qa])[:, None]
+                    xanchor = xanchor.at[jids].set(pos + am.rotate(m.jnt_pos[jids], quat))
+                    xaxis = xaxis.at[jids].set(ax)
+            xpos = xpos.at[ids].set(pos)
+            xquat = xquat.at[ids].set(am.normalize_quat(quat))
 
     # inertial and geom frames (batched over bodies/geoms)
     xipos = xpos + am.rotate(m.body_ipos, xquat)
@@ -81,8 +88,8 @@ def kinematics(m: Model, d: Data) -> Data:
     return d.replace(
         xpos=xpos,
         xquat=xquat,
-        xanchor=xanchor_a,
-        xaxis=xaxis_a,
+        xanchor=xanchor,
+        xaxis=xaxis,
         xipos=xipos,
         ximat=ximat,
         geom_xpos=geom_xpos,
@@ -93,49 +100,51 @@ def kinematics(m: Model, d: Data) -> Data:
 def com_pos(m: Model, d: Data) -> Data:
     """Subtree COM, com-frame spatial inertias (cinert) and dof axes (cdof)."""
     s = m.skel
+    sched = tree_schedule(s)
+    dtype = d.qpos.dtype
 
-    # subtree com: bottom-up accumulation (unrolled, reverse DFS order)
-    mass_acc = [m.body_mass[b] for b in range(s.nbody)]
-    mpos_acc = [m.body_mass[b] * d.xipos[b] for b in range(s.nbody)]
-    for b in range(s.nbody - 1, 0, -1):
-        p = int(s.body_parentid[b])
-        mass_acc[p] = mass_acc[p] + mass_acc[b]
-        mpos_acc[p] = mpos_acc[p] + mpos_acc[b]
-    subtree_mass = jnp.stack(mass_acc)
-    subtree_com = jnp.stack(mpos_acc) / jnp.maximum(subtree_mass, 1e-12)[:, None]
+    # subtree com: bottom-up level accumulation
+    mass_acc = m.body_mass * jnp.ones((), dtype)
+    mpos_acc = m.body_mass[:, None] * d.xipos
+    for child_ids, parent_ids in sched.reverse_levels:
+        mass_acc = mass_acc.at[parent_ids].add(mass_acc[child_ids])
+        mpos_acc = mpos_acc.at[parent_ids].add(mpos_acc[child_ids])
+    subtree_com = mpos_acc / jnp.maximum(mass_acc, 1e-12)[:, None]
 
-    # per-body com-frame origin: subtree com of the body's kinematic root
     origin = subtree_com[s.body_rootid]  # (nbody, 3)
 
-    # cinert: spatial inertia about the com-frame origin
     inertia_world = d.ximat @ (m.body_inertia[:, :, None] * jnp.swapaxes(d.ximat, -1, -2))
     cinert = am.spatial_inertia(m.body_mass, inertia_world, d.xipos - origin)
 
-    # cdof
-    cdofs = []
-    for j in range(s.njnt):
-        jtype = JointType(int(s.jnt_type[j]))
-        b = int(s.jnt_bodyid[j])
+    # cdof: order-free, vectorized per joint type
+    cdof = jnp.zeros((s.nv, 6), dtype)
+    for jtype_int, jids in sched.jnt_by_type.items():
+        jtype = JointType(jtype_int)
+        b = s.jnt_bodyid[jids]
+        da = s.jnt_dofadr[jids]
         o = origin[b]
-        if jtype == JointType.FREE:
-            eye3 = jnp.eye(3, dtype=d.qpos.dtype)
-            for k in range(3):  # translation dofs: world axes
-                cdofs.append(jnp.concatenate([jnp.zeros(3, d.qpos.dtype), eye3[k]]))
-            xmat = am.quat_to_mat(d.xquat[b])
-            for k in range(3):  # rotation dofs: body-frame axes, anchored at body origin
-                ax = xmat[:, k]
-                cdofs.append(jnp.concatenate([ax, jnp.cross(ax, o - d.xanchor[j])]))
-        elif jtype == JointType.BALL:
-            xmat = am.quat_to_mat(d.xquat[b])
-            for k in range(3):
-                ax = xmat[:, k]
-                cdofs.append(jnp.concatenate([ax, jnp.cross(ax, o - d.xanchor[j])]))
-        elif jtype == JointType.HINGE:
-            ax = d.xaxis[j]
-            cdofs.append(jnp.concatenate([ax, jnp.cross(ax, o - d.xanchor[j])]))
-        else:  # SLIDE
-            cdofs.append(jnp.concatenate([jnp.zeros(3, d.qpos.dtype), d.xaxis[j]]))
-    cdof = jnp.stack(cdofs) if cdofs else jnp.zeros((0, 6), d.qpos.dtype)
+        if jtype == JointType.HINGE:
+            ax = d.xaxis[jids]
+            cdof = cdof.at[da].set(jnp.concatenate([ax, jnp.cross(ax, o - d.xanchor[jids])], axis=-1))
+        elif jtype == JointType.SLIDE:
+            z = jnp.zeros_like(d.xaxis[jids])
+            cdof = cdof.at[da].set(jnp.concatenate([z, d.xaxis[jids]], axis=-1))
+        else:
+            xmat = am.quat_to_mat(d.xquat[b])  # (G, 3, 3)
+            anchors = d.xanchor[jids]
+            if jtype == JointType.FREE:
+                eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), xmat.shape)
+                z = jnp.zeros_like(eye)
+                trans = jnp.concatenate([z, eye], axis=-1)  # (G, 3(dof), 6)
+                idx = da[:, None] + np.arange(3)[None, :]
+                cdof = cdof.at[idx].set(trans)
+                da = da + 3
+            # rotational dofs: body-frame axes anchored at the joint anchor
+            axes = jnp.swapaxes(xmat, -1, -2)  # rows = body axes (G, 3(dof), 3)
+            lin = jnp.cross(axes, (o - anchors)[:, None, :])
+            rot = jnp.concatenate([axes, lin], axis=-1)
+            idx = da[:, None] + np.arange(3)[None, :]
+            cdof = cdof.at[idx].set(rot)
 
     return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
@@ -143,47 +152,50 @@ def com_pos(m: Model, d: Data) -> Data:
 def com_vel(m: Model, d: Data) -> Data:
     """Body spatial velocities and cdof time-derivatives (mirrors mj_comVel).
 
-    cdof_dot[j] = cvel_running x cdof[j], where cvel_running is the body
-    velocity accumulated over the parent and *preceding* joints only; a free
-    joint's world-fixed translation axes have zero derivative and are added
-    to the running velocity before its rotation axes are differentiated.
+    cdof_dot[j] = cvel_running x cdof[j], where cvel_running accumulates the
+    parent and preceding joints only; a free joint's world-fixed translation
+    axes have zero derivative and join the running velocity before its
+    rotation axes are differentiated. Level-vectorized.
     """
     s = m.skel
+    sched = tree_schedule(s)
     dtype = d.qpos.dtype
-    cvel = [jnp.zeros(6, dtype) for _ in range(s.nbody)]
-    cdof_dot = [jnp.zeros(6, dtype)] * s.nv
-    for b in range(1, s.nbody):
-        p = int(s.body_parentid[b])
-        v = cvel[p]
-        jadr, jnum = int(s.body_jntadr[b]), int(s.body_jntnum[b])
-        for j in range(jadr, jadr + jnum):
-            jtype = JointType(int(s.jnt_type[j]))
-            da = int(s.jnt_dofadr[j])
-            if jtype == JointType.FREE:
-                v = v + d.cdof[da : da + 3].T @ d.qvel[da : da + 3]
-                for k in range(3):
-                    cdof_dot[da + 3 + k] = am.motion_cross(v, d.cdof[da + 3 + k])
-                v = v + d.cdof[da + 3 : da + 6].T @ d.qvel[da + 3 : da + 6]
-            else:
-                width = jtype.dof_width
-                for k in range(width):
-                    cdof_dot[da + k] = am.motion_cross(v, d.cdof[da + k])
-                v = v + d.cdof[da : da + width].T @ d.qvel[da : da + width]
-        cvel[b] = v
-    cdof_dot_a = jnp.stack(cdof_dot) if s.nv else jnp.zeros((0, 6), dtype)
-    return d.replace(cvel=jnp.stack(cvel), cdof_dot=cdof_dot_a)
+    cvel = jnp.zeros((s.nbody, 6), dtype)
+    cdof_dot = jnp.zeros((s.nv, 6), dtype)
+
+    for level in sched.levels:
+        for sig, ids, parents, jnt_slots in level:
+            v = cvel[parents]  # (G, 6)
+            for slot, jtype_int in enumerate(sig):
+                jtype = JointType(jtype_int)
+                jids = jnt_slots[slot]
+                da = s.jnt_dofadr[jids]
+                if jtype == JointType.FREE:
+                    idx_t = da[:, None] + np.arange(3)[None, :]
+                    v = v + jnp.einsum("gwi,gw->gi", d.cdof[idx_t], d.qvel[idx_t])
+                    idx_r = da[:, None] + (3 + np.arange(3))[None, :]
+                    dot = am.motion_cross(v[:, None, :], d.cdof[idx_r])
+                    cdof_dot = cdof_dot.at[idx_r].set(dot)
+                    v = v + jnp.einsum("gwi,gw->gi", d.cdof[idx_r], d.qvel[idx_r])
+                else:
+                    w = jtype.dof_width
+                    idx = da[:, None] + np.arange(w)[None, :]
+                    dot = am.motion_cross(v[:, None, :], d.cdof[idx])
+                    cdof_dot = cdof_dot.at[idx].set(dot)
+                    v = v + jnp.einsum("gwi,gw->gi", d.cdof[idx], d.qvel[idx])
+            cvel = cvel.at[ids].set(v)
+    return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
 def crb(m: Model, d: Data) -> Data:
     """Composite-rigid-body mass matrix, dense, via two einsums + static mask."""
     s = m.skel
-    # composite inertias: accumulate children into parents (reverse order)
-    crb_acc = [d.cinert[b] for b in range(s.nbody)]
-    for b in range(s.nbody - 1, 0, -1):
-        p = int(s.body_parentid[b])
-        if p > 0:
-            crb_acc[p] = crb_acc[p] + crb_acc[b]
-    crb_mat = jnp.stack(crb_acc)  # (nbody, 6, 6)
+    sched = tree_schedule(s)
+    crb_mat = d.cinert
+    for child_ids, parent_ids in sched.reverse_levels:
+        keep = parent_ids > 0
+        if keep.any():
+            crb_mat = crb_mat.at[parent_ids[keep]].add(crb_mat[child_ids[keep]])
 
     if s.nv == 0:
         return d.replace(qM=jnp.zeros((0, 0), d.qpos.dtype))
@@ -212,53 +224,69 @@ def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
 
 
 def rne(m: Model, d: Data) -> Data:
-    """Recursive Newton-Euler: bias forces C(q,v)v + g(q) into qfrc_bias."""
+    """Recursive Newton-Euler: bias forces C(q,v)v + g(q), level-vectorized."""
     s = m.skel
+    sched = tree_schedule(s)
     dtype = d.qpos.dtype
     gravity = jnp.where(m.opt.disableflags & DisableBit.GRAVITY, 0.0, 1.0) * m.opt.gravity
 
-    acc0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity.astype(dtype)])
-    acc = [jnp.zeros(6, dtype) for _ in range(s.nbody)]
-    frc = [jnp.zeros(6, dtype) for _ in range(s.nbody)]
-    acc[0] = acc0
-    for b in range(1, s.nbody):
-        p = int(s.body_parentid[b])
-        da, dn = int(s.body_dofadr[b]), int(s.body_dofnum[b])
-        a = acc[p]
-        if dn:
-            a = a + d.cdof_dot[da : da + dn].T @ d.qvel[da : da + dn]
-        acc[b] = a
-        iv = d.cinert[b] @ d.cvel[b]
-        frc[b] = d.cinert[b] @ a + am.force_cross(d.cvel[b], iv)
-    for b in range(s.nbody - 1, 0, -1):
-        p = int(s.body_parentid[b])
-        if p > 0:
-            frc[p] = frc[p] + frc[b]
-    ftot = jnp.stack(frc)  # (nbody, 6)
-    qfrc_bias = jnp.einsum("vi,vi->v", d.cdof, ftot[s.dof_bodyid]) if s.nv else jnp.zeros(0, dtype)
+    acc = jnp.zeros((s.nbody, 6), dtype)
+    acc = acc.at[0].set(jnp.concatenate([jnp.zeros(3, dtype), -jnp.asarray(gravity, dtype)]))
+
+    # forward: spatial accelerations (qacc = 0)
+    for level in sched.levels:
+        for sig, ids, parents, jnt_slots in level:
+            a = acc[parents]
+            for slot, jtype_int in enumerate(sig):
+                jids = jnt_slots[slot]
+                w = JointType(jtype_int).dof_width
+                idx = s.jnt_dofadr[jids][:, None] + np.arange(w)[None, :]
+                a = a + jnp.einsum("gwi,gw->gi", d.cdof_dot[idx], d.qvel[idx])
+            acc = acc.at[ids].set(a)
+
+    iv = jnp.einsum("bij,bj->bi", d.cinert, d.cvel)
+    frc = jnp.einsum("bij,bj->bi", d.cinert, acc) + am.force_cross(d.cvel, iv)
+    frc = frc.at[0].set(0.0)
+
+    # backward: accumulate forces to parents
+    for child_ids, parent_ids in sched.reverse_levels:
+        keep = parent_ids > 0
+        if keep.any():
+            frc = frc.at[parent_ids[keep]].add(frc[child_ids[keep]])
+
+    qfrc_bias = (
+        jnp.einsum("vi,vi->v", d.cdof, frc[s.dof_bodyid]) if s.nv else jnp.zeros(0, dtype)
+    )
     return d.replace(qfrc_bias=qfrc_bias)
 
 
 def passive(m: Model, d: Data) -> Data:
-    """Spring/damper passive forces (mirrors mj_passive for joints)."""
+    """Spring/damper passive forces (mirrors mj_passive), joint-type vectorized."""
     s = m.skel
+    sched = tree_schedule(s)
     dtype = d.qpos.dtype
     if s.nv == 0:
         return d
     spring = jnp.zeros(s.nv, dtype)
-    for j in range(s.njnt):
-        jtype = JointType(int(s.jnt_type[j]))
-        qa, da = int(s.jnt_qposadr[j]), int(s.jnt_dofadr[j])
-        k = m.jnt_stiffness[j]
+    for jtype_int, jids in sched.jnt_by_type.items():
+        jtype = JointType(jtype_int)
+        qa = s.jnt_qposadr[jids]
+        da = s.jnt_dofadr[jids]
+        k = m.jnt_stiffness[jids]
         if jtype in (JointType.HINGE, JointType.SLIDE):
             spring = spring.at[da].add(-k * (d.qpos[qa] - m.qpos_spring[qa]))
         elif jtype == JointType.BALL:
-            dif = am.quat_sub(d.qpos[qa : qa + 4], m.qpos_spring[qa : qa + 4])
-            spring = spring.at[da : da + 3].add(-k * dif)
+            dif = am.quat_sub(_take(d.qpos, qa, 4), _take(m.qpos_spring, qa, 4))
+            idx = da[:, None] + np.arange(3)[None, :]
+            spring = spring.at[idx].add(-k[:, None] * dif)
         else:  # FREE
-            spring = spring.at[da : da + 3].add(-k * (d.qpos[qa : qa + 3] - m.qpos_spring[qa : qa + 3]))
-            dif = am.quat_sub(d.qpos[qa + 3 : qa + 7], m.qpos_spring[qa + 3 : qa + 7])
-            spring = spring.at[da + 3 : da + 6].add(-k * dif)
+            idx_t = da[:, None] + np.arange(3)[None, :]
+            spring = spring.at[idx_t].add(
+                -k[:, None] * (_take(d.qpos, qa, 3) - _take(m.qpos_spring, qa, 3))
+            )
+            dif = am.quat_sub(_take(d.qpos, qa + 3, 4), _take(m.qpos_spring, qa + 3, 4))
+            idx_r = da[:, None] + (3 + np.arange(3))[None, :]
+            spring = spring.at[idx_r].add(-k[:, None] * dif)
     damper = -m.dof_damping * d.qvel
     qfrc_passive = spring + damper
     if m.opt.disableflags & DisableBit.PASSIVE:
@@ -268,20 +296,47 @@ def passive(m: Model, d: Data) -> Data:
     return d.replace(qfrc_spring=spring, qfrc_damper=damper, qfrc_passive=qfrc_passive)
 
 
+_MOMENT_CACHE: dict = {}
+
+
+def _joint_trn_arrays(s):
+    """Static helpers for joint-transmission actuators: (act ids on hinge/slide,
+    their dof addrs, qpos addrs)."""
+    key = (id(s), "trn")
+    if key not in _MOMENT_CACHE:
+        scalar_u, scalar_dof, scalar_qa = [], [], []
+        other_u = []
+        for u in range(s.nu):
+            j = int(s.actuator_trnid[u])
+            jtype = JointType(int(s.jnt_type[j]))
+            if jtype in (JointType.HINGE, JointType.SLIDE):
+                scalar_u.append(u)
+                scalar_dof.append(int(s.jnt_dofadr[j]))
+                scalar_qa.append(int(s.jnt_qposadr[j]))
+            else:
+                other_u.append(u)
+        _MOMENT_CACHE[key] = (
+            np.asarray(scalar_u, dtype=np.int32),
+            np.asarray(scalar_dof, dtype=np.int32),
+            np.asarray(scalar_qa, dtype=np.int32),
+            np.asarray(other_u, dtype=np.int32),
+        )
+    return _MOMENT_CACHE[key]
+
+
 def actuator_moment(m: Model, d: Data) -> jax.Array:
     """(nu, nv) transmission moment matrix (joint transmissions)."""
     s = m.skel
     moment = jnp.zeros((s.nu, s.nv), d.qpos.dtype)
-    for u in range(s.nu):
+    scalar_u, scalar_dof, _, other_u = _joint_trn_arrays(s)
+    if len(scalar_u):
+        moment = moment.at[scalar_u, scalar_dof].set(m.actuator_gear[scalar_u, 0])
+    for u in other_u:  # free/ball transmissions (rare): gear vector on the joint dofs
         j = int(s.actuator_trnid[u])
         da = int(s.jnt_dofadr[j])
         jtype = JointType(int(s.jnt_type[j]))
-        if jtype in (JointType.HINGE, JointType.SLIDE):
-            moment = moment.at[u, da].set(m.actuator_gear[u, 0])
-        else:
-            width = jtype.dof_width
-            gear = m.actuator_gear[u, :width] if jtype == JointType.FREE else m.actuator_gear[u, :3]
-            moment = moment.at[u, da : da + gear.shape[0]].set(gear)
+        width = jtype.dof_width if jtype == JointType.FREE else 3
+        moment = moment.at[u, da : da + width].set(m.actuator_gear[u, :width])
     return moment
 
 
@@ -298,17 +353,10 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
         ctrl = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
 
-    # length/velocity through the transmission
-    lengths = []
-    for u in range(s.nu):
-        j = int(s.actuator_trnid[u])
-        jtype = JointType(int(s.jnt_type[j]))
-        qa = int(s.jnt_qposadr[j])
-        if jtype in (JointType.HINGE, JointType.SLIDE):
-            lengths.append(d.qpos[qa] * m.actuator_gear[u, 0])
-        else:
-            lengths.append(jnp.zeros((), dtype))
-    length = jnp.stack(lengths)
+    scalar_u, scalar_dof, scalar_qa, _ = _joint_trn_arrays(s)
+    length = jnp.zeros(s.nu, dtype)
+    if len(scalar_u):
+        length = length.at[scalar_u].set(d.qpos[scalar_qa] * m.actuator_gear[scalar_u, 0])
     moment = actuator_moment(m, d)
     velocity = moment @ d.qvel
 
@@ -324,9 +372,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * length + m.actuator_biasprm[:, 2] * velocity,
         0.0,
     )
-    # act dynamics (dyntype none/integrator/filter); na==0 for all current models
-    act_input = ctrl
-    force = gain * act_input + bias
+    force = gain * ctrl + bias
 
     limited_f = jnp.asarray(s.actuator_forcelimited)
     force = jnp.where(
@@ -353,11 +399,8 @@ def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
     origin = d.subtree_com[s.body_rootid]  # (nbody, 3)
     torque = d.xfrc_applied[:, :3]
     force = d.xfrc_applied[:, 3:]
-    # spatial force at com-frame origin: (t + (p - o) x f, f)
     ang = torque + jnp.cross(d.xipos - origin, force)
     fspatial = jnp.concatenate([ang, force], axis=-1)  # (nbody, 6)
-    # qfrc_j = sum over bodies b for which dof j is an ancestor: cdof_j . f_b
-    # body-dof ancestor matrix: dof j supports body b iff dof_bodyid chain
     supports = _body_dof_support(s)  # (nbody, nv) static
     return jnp.einsum("bv,vi,bi->v", jnp.asarray(supports, d.qpos.dtype), d.cdof, fspatial)
 
@@ -368,8 +411,6 @@ _SUPPORT_CACHE: dict = {}
 def _body_dof_support(s):
     key = (id(s), "support")
     if key not in _SUPPORT_CACHE:
-        import numpy as np
-
         sup = np.zeros((s.nbody, s.nv), dtype=bool)
         for b in range(s.nbody):
             bb = b

@@ -1,0 +1,110 @@
+"""BASELINE.md benchmark ladder — self-measured (the reference publishes no
+numbers; configs from BASELINE.json):
+
+1. pendulum, 1000-step rollout, batch 1 (CPU-class config, run on device)
+2. cart-pole + 3-link arm, batch 1024, frictionless contacts
+3. object-drop contact-rich scene, batch 2048
+4. quadruped PD-stand, batch 4096 (the headline metric; also in bench.py)
+5. humanoid contact-rich PD, batch 1024 + predictive-sampling trajopt
+
+Prints one JSON line per rung. Timing uses chained inputs + value-readback
+sync (see .claude/skills/verify/SKILL.md for why).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.engine import make_data, step
+from ambersim_tpu.utils.io_utils import load_model_from_file
+
+
+def _time_rollout(model, batch, nsteps, ctrl_fn=None):
+    def one(d):
+        if ctrl_fn is not None:
+            d = d.replace(ctrl=ctrl_fn(d))
+        return step(model, d)
+
+    @jax.jit
+    def roll(b):
+        if b.qpos.ndim == 1:
+            return jax.lax.scan(lambda d, _: (one(d), None), b, None, length=nsteps)[0]
+        return jax.lax.scan(lambda bb, _: (jax.vmap(one)(bb), None), b, None, length=nsteps)[0]
+
+    warm = roll(batch)
+    float(warm.qpos.reshape(-1)[0])
+    t0 = time.perf_counter()
+    out = roll(warm)
+    float(out.qpos.reshape(-1)[0])
+    dt = time.perf_counter() - t0
+    n_envs = 1 if batch.qpos.ndim == 1 else batch.qpos.shape[0]
+    return n_envs * nsteps / dt
+
+
+def _batch(model, n):
+    d0 = make_data(model)
+    if n == 1:
+        return d0
+    return jax.jit(jax.vmap(lambda i: d0))(jnp.arange(n))
+
+
+def emit(name, value, unit="env_steps/s"):
+    print(json.dumps({"metric": name, "value": round(value, 1), "unit": unit}), flush=True)
+
+
+def main():
+    # rung 1: single pendulum 1000-step rollout
+    m = load_model_from_file("models/pendulum/pendulum.xml")
+    emit("pendulum_single_rollout", _time_rollout(m, _batch(m, 1), 1000))
+
+    # rung 2: cartpole + arm3 batch 1024
+    m = load_model_from_file("models/cartpole/cartpole.xml")
+    emit("cartpole_1024env", _time_rollout(m, _batch(m, 1024), 200))
+    m = load_model_from_file("models/arm3/arm3.xml")
+    emit("arm3_1024env_frictionless", _time_rollout(m, _batch(m, 1024), 200))
+
+    # rung 3: contact-rich drop, batch 2048
+    m = load_model_from_file("models/objects/drop_scene.xml")
+    emit("drop_scene_2048env", _time_rollout(m, _batch(m, 2048), 150))
+
+    # rung 4: quadruped PD stand, batch 4096
+    m = load_model_from_file("models/quadruped/quadruped.xml")
+    pd = lambda d: 60.0 * (0.0 - d.qpos[7:]) - 2.0 * d.qvel[6:]  # noqa: E731
+    emit("quadruped_4096env", _time_rollout(m, _batch(m, 4096), 100, pd))
+
+    # rung 5: humanoid PD, batch 1024 + trajopt
+    m = load_model_from_file("models/humanoid/humanoid.xml")
+    pd_h = lambda d: jnp.clip(200.0 * (0.0 - d.qpos[7:]) - 10.0 * d.qvel[6:], -100, 100)  # noqa: E731
+    emit("humanoid_1024env", _time_rollout(m, _batch(m, 1024), 100, pd_h))
+
+    # humanoid predictive sampling (64 samples x 8 knots)
+    from ambersim_tpu.trajopt import (
+        StaticGoalQuadraticCost,
+        VanillaPredictiveSampler,
+        VanillaPredictiveSamplerParams,
+    )
+
+    nx = m.nq + m.nv
+    cost = StaticGoalQuadraticCost(
+        Q=0.1 * jnp.eye(nx), Qf=10.0 * jnp.eye(nx), R=1e-4 * jnp.eye(m.nu),
+        xg=jnp.concatenate([jnp.asarray(m.qpos0), jnp.zeros(m.nv)]),
+    )
+    ps = VanillaPredictiveSampler(model=m, cost_function=cost, nsamples=64, stdev=0.2)
+    params = VanillaPredictiveSamplerParams(
+        x0=jnp.concatenate([jnp.asarray(m.qpos0), jnp.zeros(m.nv)]),
+        us_guess=jnp.zeros((8, m.nu)),
+        rng=jax.random.PRNGKey(0),
+    )
+    opt = jax.jit(ps.optimize)
+    xs, us = opt(params)
+    float(xs[0, 0])
+    t0 = time.perf_counter()
+    xs, us = opt(params.replace(rng=jax.random.PRNGKey(1)))
+    float(xs[0, 0])
+    emit("humanoid_predictive_sampling_64x8", 1.0 / (time.perf_counter() - t0), unit="solves/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Cross-engine rollout parity for the packaged benchmark models
+(cartpole, 3-link arm, object drop, quadruped, humanoid)."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu import ROOT
+from ambersim_tpu.engine import make_data, step
+from ambersim_tpu.utils.io_utils import load_model_from_file
+
+
+def _rollout_pair(name, steps, ctrl_fn=None, atol=2e-2):
+    path = f"{ROOT}/models/{name}"
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(steps):
+        if ctrl_fn is not None:
+            mj_data.ctrl[:] = ctrl_fn(mj_data.qpos, mj_data.qvel)
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(steps):
+        if ctrl_fn is not None:
+            ctrl = ctrl_fn(np.asarray(d.qpos), np.asarray(d.qvel))
+            d = d.replace(ctrl=jnp.asarray(ctrl, jnp.float32))
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=atol, err_msg=f"{name} qpos")
+    return model
+
+
+def test_cartpole():
+    model = _rollout_pair("cartpole/cartpole.xml", 200, ctrl_fn=lambda q, v: [0.3], atol=5e-3)
+    assert model.nq == 2 and model.nu == 1
+
+
+def test_arm3_frictionless_contact():
+    model = _rollout_pair("arm3/arm3.xml", 300, atol=2e-2)
+    assert model.nu == 3
+    # frictionless condim-1 pair rows: 1 per contact slot
+    assert int(model.skel.pair_condim.max()) == 1
+
+
+def test_drop_scene():
+    """Multi-object impact chains are chaotic (sphere orientations diverge
+    between any two solvers); compare body POSITIONS over the first 0.6 s."""
+    path = f"{ROOT}/models/objects/drop_scene.xml"
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+    assert model.nbody == 5  # world + 4 free bodies
+    assert model.skel.ncon > 4  # plane + object-object candidate pairs
+
+    d = make_data(model)
+    stp = jax.jit(step)
+    # 0.3 s: through the first impacts; beyond that the pile's bounce chain
+    # is chaotic (any two solvers diverge)
+    for _ in range(150):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(150):
+        d = stp(model, d)
+    np.testing.assert_allclose(np.asarray(d.qpos), mj_data.qpos, atol=3e-2, err_msg="drop qpos")
+
+
+def test_humanoid_pd_hold():
+    """Humanoid under joint PD: contact-rich two-engine agreement through the
+    first 0.45 s (the fall makes longer horizons chaotic)."""
+    path = f"{ROOT}/models/humanoid/humanoid.xml"
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+
+    def pd(q, v):
+        return np.clip(200.0 * (0.0 - q[7:]) - 10.0 * v[6:], -100, 100)
+
+    d = make_data(model)
+    stp = jax.jit(step)
+    steps = 150
+    for _ in range(steps):
+        mj_data.ctrl[:] = pd(mj_data.qpos, mj_data.qvel)
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(steps):
+        d = d.replace(ctrl=jnp.asarray(pd(np.asarray(d.qpos), np.asarray(d.qvel)), jnp.float32))
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos[:3], mj_data.qpos[:3], atol=3e-2, err_msg="humanoid base pos")
+    np.testing.assert_allclose(d.qpos[7:], mj_data.qpos[7:], atol=5e-2, err_msg="humanoid joints")
+
+
+def test_quadruped_stand():
+    path = f"{ROOT}/models/quadruped/quadruped.xml"
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+
+    def pd(q, v):
+        return 60.0 * (0.0 - q[7:]) - 2.0 * v[6:]
+
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(250):
+        mj_data.ctrl[:] = pd(mj_data.qpos, mj_data.qvel)
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(250):
+        d = d.replace(ctrl=jnp.asarray(pd(np.asarray(d.qpos), np.asarray(d.qvel)), jnp.float32))
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-2)
+    assert float(d.qpos[2]) > 0.2  # still standing

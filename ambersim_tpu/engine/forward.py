@@ -3,7 +3,7 @@ role of mjx.forward/mjx.step at reference ambersim/rl/base.py:86,93)."""
 
 from __future__ import annotations
 
-from ambersim_tpu.core.types import Data, DisableBit, Model
+from ambersim_tpu.core.types import Data, DisableBit, IntegratorType, Model
 from ambersim_tpu.engine import collision, constraint, integrate, smooth, solver
 
 
@@ -29,6 +29,8 @@ def forward(m: Model, d: Data) -> Data:
 
 
 def step(m: Model, d: Data) -> Data:
-    """One physics step: forward dynamics + integration."""
+    """One physics step: forward dynamics + integration (Euler or RK4)."""
     d = forward(m, d)
+    if m.opt.integrator == int(IntegratorType.RK4):
+        return integrate.rk4(m, d, forward)
     return integrate.euler(m, d)

@@ -52,6 +52,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         actuator_length=z(s.nu),
         actuator_velocity=z(s.nu),
         actuator_force=z(s.nu),
+        act_dot=z(s.na),
         qfrc_actuator=z(s.nv),
         qfrc_smooth=z(s.nv),
         qacc_smooth=z(s.nv),

@@ -50,10 +50,18 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
     return out
 
 
+def _advance_act(m: Model, d: Data, h) -> Data:
+    """Integrate actuator activations (dyntype filter/integrator)."""
+    if m.skel.na == 0:
+        return d
+    return d.replace(act=d.act + h * d.act_dot)
+
+
 def euler(m: Model, d: Data) -> Data:
     """Semi-implicit Euler step given d.qacc."""
     s = m.skel
     h = m.opt.timestep
+    d = _advance_act(m, d, h)
     use_implicit = bool(s.has_damping) and not (m.opt.disableflags & DisableBit.EULERDAMP)
     if use_implicit:
         from ambersim_tpu.engine import linalg
@@ -66,3 +74,37 @@ def euler(m: Model, d: Data) -> Data:
         qvel = d.qvel + h * d.qacc
     qpos = integrate_pos(m, d.qpos, qvel, h)
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
+def rk4(m: Model, d: Data, forward_fn) -> Data:
+    """Classic 4th-order Runge-Kutta over (qpos, qvel[, act]) (mjINT_RK4).
+
+    `forward_fn(m, d)` recomputes qacc for intermediate stages; d must arrive
+    with stage-1 forward dynamics already computed."""
+    h = m.opt.timestep
+    qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+
+    def deriv(dd):
+        return dd.qvel, dd.qacc, dd.act_dot
+
+    k1 = deriv(d)
+    d2 = d.replace(
+        qpos=integrate_pos(m, qpos0, k1[0], h / 2), qvel=qvel0 + (h / 2) * k1[1], act=act0 + (h / 2) * k1[2]
+    )
+    k2 = deriv(forward_fn(m, d2))
+    d3 = d.replace(
+        qpos=integrate_pos(m, qpos0, k2[0], h / 2), qvel=qvel0 + (h / 2) * k2[1], act=act0 + (h / 2) * k2[2]
+    )
+    k3 = deriv(forward_fn(m, d3))
+    d4 = d.replace(qpos=integrate_pos(m, qpos0, k3[0], h), qvel=qvel0 + h * k3[1], act=act0 + h * k3[2])
+    k4 = deriv(forward_fn(m, d4))
+
+    vel_avg = (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]) / 6.0
+    acc_avg = (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]) / 6.0
+    actdot_avg = (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2]) / 6.0
+    return d.replace(
+        qpos=integrate_pos(m, qpos0, vel_avg, h),
+        qvel=qvel0 + h * acc_avg,
+        act=act0 + h * actdot_avg,
+        time=d.time + h,
+    )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ambersim_tpu.core import math as am
-from ambersim_tpu.core.types import BiasType, Data, DisableBit, GainType, JointType, Model
+from ambersim_tpu.core.types import BiasType, Data, DisableBit, DynType, GainType, JointType, Model
 from ambersim_tpu.engine.schedule import tree_schedule
 
 
@@ -372,7 +372,18 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * length + m.actuator_biasprm[:, 2] * velocity,
         0.0,
     )
-    force = gain * ctrl + bias
+
+    # activation dynamics: dyntype FILTER (act_dot = (ctrl-act)/tau) and
+    # INTEGRATOR (act_dot = ctrl); actuators with dynamics drive force via act
+    act_dot = d.act_dot
+    act_input = ctrl
+    if s.na:
+        dyn_u = np.nonzero(s.actuator_dyntype != int(DynType.NONE))[0]
+        is_filter = jnp.asarray(s.actuator_dyntype[dyn_u] == int(DynType.FILTER))
+        tau = jnp.maximum(m.actuator_dynprm[dyn_u, 0], 1e-8)
+        act_dot = jnp.where(is_filter, (ctrl[dyn_u] - d.act) / tau, ctrl[dyn_u])
+        act_input = act_input.at[dyn_u].set(d.act)
+    force = gain * act_input + bias
 
     limited_f = jnp.asarray(s.actuator_forcelimited)
     force = jnp.where(
@@ -386,6 +397,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         actuator_length=length,
         actuator_velocity=velocity,
         actuator_force=force,
+        act_dot=act_dot,
         qfrc_actuator=qfrc,
         ctrl=d.ctrl,
     )

@@ -1,0 +1,87 @@
+"""RK4 integrator and actuator activation dynamics parity vs MuJoCo C."""
+
+import mujoco
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.engine import make_data, step
+from ambersim_tpu.engine.setconst import set_constants
+from ambersim_tpu.mjcf import compile_spec
+from ambersim_tpu.mjcf.parser import parse_mjcf_string
+
+RK4_PENDULUM = """
+<mujoco><option timestep="0.01" integrator="RK4"/><compiler angle="radian"/>
+<worldbody><body pos="0 0 1">
+  <joint name="h" axis="0 1 0"/>
+  <geom type="capsule" fromto="0 0 0 0 0 -0.5" size="0.03"/>
+  <body pos="0 0 -0.5"><joint name="h2" axis="1 0 0"/>
+    <geom type="capsule" fromto="0 0 0 0 0.4 0" size="0.025"/></body>
+</body></worldbody></mujoco>
+"""
+
+FILTER_ACT = """
+<mujoco><option timestep="0.002"/><compiler angle="radian"/>
+<worldbody><body pos="0 0 1">
+  <joint name="h" axis="0 1 0" damping="0.1"/>
+  <geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.03"/>
+</body></worldbody>
+<actuator><general joint="h" dyntype="filter" dynprm="0.05" gainprm="2"/></actuator>
+</mujoco>
+"""
+
+
+def _pair(xml):
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    model = set_constants(compile_spec(parse_mjcf_string(xml)))
+    return mj_model, model
+
+
+def test_rk4_double_pendulum():
+    mj_model, model = _pair(RK4_PENDULUM)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qpos[:] = [1.1, 0.3]
+    mj_data.qvel[:] = [0.5, -0.4]
+    d = make_data(model).replace(qpos=jnp.array([1.1, 0.3]), qvel=jnp.array([0.5, -0.4]))
+    stp = jax.jit(step)
+    for _ in range(200):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(200):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-3)
+    np.testing.assert_allclose(d.qvel, mj_data.qvel, atol=1e-2)
+
+
+def test_rk4_more_accurate_than_euler():
+    """RK4 at dt should track a fine-dt reference better than Euler at dt."""
+    _, model_rk4 = _pair(RK4_PENDULUM)
+    model_euler = model_rk4.replace(opt=model_rk4.opt.replace(integrator=0))
+    model_fine = model_euler.replace(opt=model_euler.opt.replace(timestep=jnp.float32(0.0005)))
+
+    def roll(m, n):
+        d = make_data(m).replace(qpos=jnp.array([1.1, 0.3]))
+        stp = jax.jit(step)
+        for _ in range(n):
+            d = stp(m, d)
+        return np.asarray(d.qpos)
+
+    ref = roll(model_fine, 2000)  # 1 s at dt=5e-4
+    q_rk4 = roll(model_rk4, 100)  # 1 s at dt=1e-2
+    q_euler = roll(model_euler, 100)
+    assert np.abs(q_rk4 - ref).max() < np.abs(q_euler - ref).max()
+
+
+def test_filter_actuator_dynamics():
+    mj_model, model = _pair(FILTER_ACT)
+    assert model.na == 1
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.ctrl[0] = 1.0
+    d = make_data(model).replace(ctrl=jnp.array([1.0]))
+    stp = jax.jit(step)
+    for _ in range(100):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(100):
+        d = stp(model, d)
+    np.testing.assert_allclose(np.asarray(d.act), mj_data.act, atol=2e-3)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-3)

@@ -2,9 +2,14 @@
 
 XLA's generic cholesky/triangular_solve lowers to sequential loops that run
 poorly for huge batches of tiny matrices (the simulation regime: nv ~ 10-40,
-batch ~ 4096). These unrolled versions turn the factorization into nv
-straight-line vectorized steps — each a full-batch VPU op — and are the
-engine-wide replacements for jax.scipy.linalg.cholesky/cho_solve.
+batch ~ 4096). Two paths:
+
+  * unrolled jnp versions (nv straight-line vectorized steps) — used
+    unbatched and on non-TPU backends;
+  * fused Pallas TPU kernels (ops/linalg_pallas.py) — dispatched via
+    jax.custom_batching.custom_vmap, so per-env engine code under vmap(step)
+    transparently collapses each factor/solve into ONE kernel per batch tile
+    instead of ~3*nv XLA ops.
 """
 
 from __future__ import annotations
@@ -13,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 
-def cholesky(a: jax.Array) -> jax.Array:
+def _use_pallas(a: jax.Array) -> bool:
+    # a is the batched operand inside a custom_vmap rule: (B, n, n)
+    return jax.devices()[0].platform == "tpu" and a.ndim == 3
+
+
+def cholesky_unrolled(a: jax.Array) -> jax.Array:
     """Lower Cholesky of (..., n, n) SPD matrices, unrolled over n."""
     n = a.shape[-1]
     dtype = a.dtype
@@ -50,11 +60,66 @@ def solve_upper_t(l: jax.Array, y: jax.Array) -> jax.Array:
     return x
 
 
-def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+def cho_solve_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
     """Solve A x = b given the lower Cholesky factor of A."""
     return solve_upper_t(l, solve_lower(l, b))
 
 
+# ---------------------------------------------------------------------------
+# Public entry points: custom_vmap dispatch to fused Pallas kernels on TPU
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_batching.custom_vmap
+def cholesky(a: jax.Array) -> jax.Array:
+    """Lower Cholesky of an SPD matrix; batched calls fuse on TPU."""
+    return cholesky_unrolled(a)
+
+
+@cholesky.def_vmap
+def _cholesky_vmap(axis_size, in_batched, a):
+    if not in_batched[0]:
+        a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    if _use_pallas(a):
+        from ambersim_tpu.ops.linalg_pallas import cholesky_batched
+
+        return cholesky_batched(a), True
+    return cholesky_unrolled(a), True
+
+
+@jax.custom_batching.custom_vmap
+def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b given the lower Cholesky factor; batched calls fuse on TPU."""
+    return cho_solve_unrolled(l, b)
+
+
+@cho_solve.def_vmap
+def _cho_solve_vmap(axis_size, in_batched, l, b):
+    if not in_batched[0]:
+        l = jnp.broadcast_to(l, (axis_size,) + l.shape)
+    if not in_batched[1]:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    if _use_pallas(l):
+        from ambersim_tpu.ops.linalg_pallas import cho_solve_batched
+
+        return cho_solve_batched(l, b), True
+    return cho_solve_unrolled(l, b), True
+
+
+@jax.custom_batching.custom_vmap
 def solve_pd(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve SPD system A x = b."""
-    return cho_solve(cholesky(a), b)
+    """Solve SPD system A x = b; batched calls fuse into one TPU kernel."""
+    return cho_solve_unrolled(cholesky_unrolled(a), b)
+
+
+@solve_pd.def_vmap
+def _solve_pd_vmap(axis_size, in_batched, a, b):
+    if not in_batched[0]:
+        a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    if not in_batched[1]:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    if _use_pallas(a):
+        from ambersim_tpu.ops.linalg_pallas import solve_pd_batched
+
+        return solve_pd_batched(a, b), True
+    return cho_solve_unrolled(cholesky_unrolled(a), b), True

@@ -32,13 +32,6 @@ def main():
     # PD standing controller: contact-rich steady state (all 4 feet loaded)
     kp, kd = 60.0, 2.0
 
-    def controlled_step(d, _):
-        target = jnp.zeros(nu)
-        qj, qdj = d.qpos[7:], d.qvel[6:]
-        ctrl = kp * (target - qj) - kd * qdj
-        d = step(model, d.replace(ctrl=ctrl))
-        return d, None
-
     def make_batch(n):
         d0 = make_data(model)
         keys = jax.random.split(jax.random.PRNGKey(0), n)
@@ -46,14 +39,14 @@ def main():
             lambda k: d0.replace(qpos=d0.qpos.at[7:].add(0.05 * jax.random.normal(k, (nu,))))
         )(keys)
 
+    from ambersim_tpu.engine.rollout import rollout as engine_rollout
+
     @jax.jit
     def rollout(batch):
-        def body(b, _):
-            b, _ = jax.vmap(controlled_step, in_axes=(0, None))(b, None)
-            return b, None
+        def ctrl_fn(d):
+            return kp * (jnp.zeros(nu) - d.qpos[7:]) - kd * d.qvel[6:]
 
-        b, _ = jax.lax.scan(body, batch, None, length=NUM_STEPS)
-        return b
+        return engine_rollout(model, batch, NUM_STEPS, ctrl_fn=ctrl_fn, batched=True)
 
     batch = make_batch(NUM_ENVS)
     # compile + warmup. NOTE (axon platform): block_until_ready is not a

@@ -22,16 +22,11 @@ from ambersim_tpu.utils.io_utils import load_model_from_file
 
 
 def _time_rollout(model, batch, nsteps, ctrl_fn=None):
-    def one(d):
-        if ctrl_fn is not None:
-            d = d.replace(ctrl=ctrl_fn(d))
-        return step(model, d)
+    from ambersim_tpu.engine.rollout import rollout as engine_rollout
 
     @jax.jit
     def roll(b):
-        if b.qpos.ndim == 1:
-            return jax.lax.scan(lambda d, _: (one(d), None), b, None, length=nsteps)[0]
-        return jax.lax.scan(lambda bb, _: (jax.vmap(one)(bb), None), b, None, length=nsteps)[0]
+        return engine_rollout(model, b, nsteps, ctrl_fn=ctrl_fn, batched=b.qpos.ndim > 1)
 
     warm = roll(batch)
     float(warm.qpos.reshape(-1)[0])

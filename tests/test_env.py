@@ -56,3 +56,26 @@ def test_registry():
         assert False
     except KeyError:
         pass
+
+
+def test_engine_rollout_matches_step_loop():
+    """engine.rollout's minimal-carry scan must equal explicit stepping."""
+    from ambersim_tpu.engine import make_data, step
+    from ambersim_tpu.engine.rollout import rollout
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    m = load_model_from_file("models/cartpole/cartpole.xml")
+    d = make_data(m).replace(qpos=jnp.array([0.1, 2.0]))
+    ctrl_fn = lambda dd: 0.5 * jnp.ones(1)  # noqa: E731
+    out = jax.jit(lambda d: rollout(m, d, 50, ctrl_fn=ctrl_fn))(d)
+    ref = d
+    stepper = jax.jit(lambda dd: step(m, dd.replace(ctrl=jnp.array([0.5]))))
+    for _ in range(50):
+        ref = stepper(ref)
+    np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.qvel), np.asarray(ref.qvel), rtol=1e-5, atol=1e-5)
+
+    # batched
+    batch = jax.vmap(lambda q: make_data(m).replace(qpos=q))(jnp.linspace(0, 1, 4)[:, None] * jnp.ones(2))
+    outb = jax.jit(lambda b: rollout(m, b, 10, batched=True))(batch)
+    assert outb.qpos.shape == (4, 2)

@@ -143,10 +143,9 @@ def capsule_capsule(xp1, xm1, s1, xp2, xm2, s2):
     return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
 
 
-def sphere_box(xp1, xm1, s1, xp2, xm2, s2):
-    r = s1[..., 0]
+def _sphere_box_raw(center, r, xp2, xm2, s2):
     # sphere center in box frame
-    local = jnp.einsum("...ji,...j->...i", xm2, xp1 - xp2)
+    local = jnp.einsum("...ji,...j->...i", xm2, center - xp2)
     clamped = jnp.clip(local, -s2, s2)
     inside = jnp.all(jnp.abs(local) < s2, axis=-1)
     # if inside: push to the nearest face
@@ -159,16 +158,48 @@ def sphere_box(xp1, xm1, s1, xp2, xm2, s2):
         clamped,
     )
     closest = xp2 + jnp.einsum("...ij,...j->...i", xm2, face_pt)
-    delta = closest - xp1
+    delta = closest - center
     dd = jnp.linalg.norm(delta, axis=-1)
     n_out = delta / jnp.maximum(dd, 1e-12)[..., None]
     n_in = -n_out  # when center is inside, normal flips (from sphere into box face)
     n = jnp.where(inside[..., None], n_in, n_out)
     dist = jnp.where(inside, -(dd + r), dd - r)
-    pos = xp1 + n * (r + 0.5 * dist)[..., None] * jnp.where(inside[..., None], -1.0, 1.0)
-    # keep midpoint convention: surface point of sphere along n plus half the overlap
-    pos = xp1 + n * (r + 0.5 * dist)[..., None]
+    pos = center + n * (r + 0.5 * dist)[..., None]
+    return dist, pos, n
+
+
+def sphere_box(xp1, xm1, s1, xp2, xm2, s2):
+    dist, pos, n = _sphere_box_raw(xp1, s1[..., 0], xp2, xm2, s2)
     return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
+def capsule_box(xp1, xm1, s1, xp2, xm2, s2):
+    """Three contacts: sphere-box at both capsule endpoints plus the
+    segment-box closest point (alternating projection between the two convex
+    sets, fixed 8 iterations) for mid-segment face/edge contact."""
+    r, hl = s1[..., 0], s1[..., 1]
+    axis = xm1[..., :, 2]
+    e1 = xp1 + hl[..., None] * axis
+    e2 = xp1 - hl[..., None] * axis
+
+    # alternating projection: p on segment, q on box
+    pseg = xp1
+    for _ in range(8):
+        local = jnp.einsum("...ji,...j->...i", xm2, pseg - xp2)
+        q = xp2 + jnp.einsum("...ij,...j->...i", xm2, jnp.clip(local, -s2, s2))
+        t = jnp.clip(jnp.einsum("...i,...i->...", q - xp1, axis), -hl, hl)
+        pseg = xp1 + t[..., None] * axis
+
+    dists, poss, ns = [], [], []
+    for c in (e1, e2, pseg):
+        dist, pos, n = _sphere_box_raw(c, r, xp2, xm2, s2)
+        dists.append(dist)
+        poss.append(pos)
+        ns.append(n)
+    dist = jnp.stack(dists, axis=-1)
+    pos = jnp.stack(poss, axis=-2)
+    frame = _make_frame(jnp.stack(ns, axis=-2))
+    return dist, pos, frame
 
 
 def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, verts, vert_mask):
@@ -197,6 +228,7 @@ _NARROWPHASE = {
     (int(GeomType.SPHERE), int(GeomType.BOX)): (sphere_box, 1),
     (int(GeomType.CAPSULE), int(GeomType.CAPSULE)): (capsule_capsule, 1),
     (int(GeomType.PLANE), int(GeomType.MESH)): (plane_mesh, 4),
+    (int(GeomType.CAPSULE), int(GeomType.BOX)): (capsule_box, 3),
 }
 
 _MESH_PAIRS = {(int(GeomType.PLANE), int(GeomType.MESH))}

@@ -110,3 +110,53 @@ def test_quadruped_stand():
         d = stp(model, d)
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-2)
     assert float(d.qpos[2]) > 0.2  # still standing
+
+
+def test_hand_mimic_grasp():
+    """Barrett-class hand: mimic couplings + finger-palm capsule-box contacts
+    (structure of reference bh280.xml: 8 joints, 4 actuators, 4 mimics)."""
+    path = f"{ROOT}/models/hand/hand.xml"
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+    assert model.njnt == 8 and model.nu == 4 and model.neq == 4
+
+    mj_data.ctrl[:] = [0.3, 0.8, 0.8, 0.8]
+    d = make_data(model).replace(ctrl=jnp.array([0.3, 0.8, 0.8, 0.8]))
+    stp = jax.jit(step)
+    for _ in range(400):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(400):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-3)
+    # mimic ratio holds through contact
+    q = np.asarray(d.qpos)
+    names = list(model.skel.jnt_names)
+    ratio = q[names.index("f1_dist")] / q[names.index("f1_prox")]
+    np.testing.assert_allclose(ratio, 0.344, atol=5e-3)
+
+
+def test_hand_predictive_sampling_smoke():
+    """Jitted predictive sampling on the hand with contacts disabled, Newton
+    solver, 1 iteration (mirrors reference tests/trajopt/
+    test_predictive_sampler.py:17-57 on the Barrett hand)."""
+    from ambersim_tpu.core.types import DisableBit
+    from ambersim_tpu.trajopt import (
+        StaticGoalQuadraticCost,
+        VanillaPredictiveSampler,
+        VanillaPredictiveSamplerParams,
+    )
+
+    model = load_model_from_file(f"{ROOT}/models/hand/hand.xml", solver="newton", iterations=1, ls_iterations=4)
+    model = model.replace(opt=model.opt.replace(disableflags=model.opt.disableflags | DisableBit.CONTACT))
+    nx = model.nq + model.nv
+    cost = StaticGoalQuadraticCost(
+        Q=0.1 * jnp.eye(nx), Qf=10.0 * jnp.eye(nx), R=0.001 * jnp.eye(model.nu),
+        xg=jnp.zeros(nx).at[1].set(1.0),
+    )
+    ps = VanillaPredictiveSampler(model=model, cost_function=cost, nsamples=16, stdev=0.2)
+    params = VanillaPredictiveSamplerParams(
+        x0=jnp.zeros(nx), us_guess=jnp.zeros((10, model.nu)), rng=jax.random.PRNGKey(0)
+    )
+    xs, us = jax.jit(ps.optimize)(params)
+    assert xs.shape == (11, nx) and np.isfinite(np.asarray(xs)).all()

@@ -8,23 +8,34 @@ from ambersim_tpu.engine import collision, constraint, integrate, smooth, solver
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-    d = smooth.fwd_position_smooth(m, d)
+    import jax
+
+    with jax.named_scope("fwd_position_smooth"):
+        d = smooth.fwd_position_smooth(m, d)
     if not (m.opt.disableflags & DisableBit.CONSTRAINT):
-        d = collision.collision(m, d)
-        d = constraint.make_constraint(m, d)
+        with jax.named_scope("collision"):
+            d = collision.collision(m, d)
+        with jax.named_scope("make_constraint"):
+            d = constraint.make_constraint(m, d)
     return d
 
 
 def forward(m: Model, d: Data) -> Data:
     """Full forward dynamics: populate qacc without integrating."""
+    import jax
+
     d = fwd_position(m, d)
-    d = smooth.fwd_velocity(m, d)
-    d = smooth.fwd_actuation(m, d)
-    d = smooth.fwd_acceleration(m, d)
+    with jax.named_scope("fwd_velocity"):
+        d = smooth.fwd_velocity(m, d)
+    with jax.named_scope("fwd_actuation"):
+        d = smooth.fwd_actuation(m, d)
+    with jax.named_scope("fwd_acceleration"):
+        d = smooth.fwd_acceleration(m, d)
     if m.opt.disableflags & DisableBit.CONSTRAINT or m.skel.nefc == 0:
         d = d.replace(qacc=d.qacc_smooth)
     else:
-        d = solver.solve(m, d)
+        with jax.named_scope("newton_solve"):
+            d = solver.solve(m, d)
     return d
 
 

@@ -72,6 +72,8 @@ def train(
     network_factory: Callable = ppo_networks_lib.make_ppo_networks,
     progress_fn: Callable[[int, Dict[str, Any]], None] = lambda *args: None,
     mesh: Optional[Mesh] = None,
+    checkpoint_path: Optional[str] = None,
+    restore_checkpoint_path: Optional[str] = None,
 ) -> Tuple[Callable, Tuple[Any, Any], Dict[str, Any]]:
     """Train a PPO agent; returns (make_inference_fn(ppo_networks) partial,
     (normalizer_params, policy_params), metrics)."""
@@ -121,6 +123,11 @@ def train(
         normalizer_params=running_statistics.init_state(jnp.zeros(obs_size)),
         env_steps=jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32),
     )
+    if restore_checkpoint_path is not None:
+        from ambersim_tpu.io.checkpoint import load_params as _load
+
+        restored = _load(restore_checkpoint_path)
+        training_state = jax.tree.map(lambda t, r: jnp.asarray(r), training_state, restored)
     training_state = jax.device_put(training_state, replicated)
 
     def generate_unroll(carry, _):
@@ -277,6 +284,10 @@ def train(
             **{f"training/{k}": float(v) for k, v in train_metrics.items()},
         }
         progress_fn(current_step, metrics)
+        if checkpoint_path is not None:
+            from ambersim_tpu.io.checkpoint import save_params as _save
+
+            _save(checkpoint_path, training_state)
 
     params = (training_state.normalizer_params, training_state.params["policy"])
     return make_policy, params, metrics

@@ -79,3 +79,18 @@ def test_engine_rollout_matches_step_loop():
     batch = jax.vmap(lambda q: make_data(m).replace(qpos=q))(jnp.linspace(0, 1, 4)[:, None] * jnp.ones(2))
     outb = jax.jit(lambda b: rollout(m, b, 10, batched=True))(batch)
     assert outb.qpos.shape == (4, 2)
+
+
+def test_state_streamer_single_transfer():
+    from ambersim_tpu.engine import make_data
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+    from ambersim_tpu.viewer import StateStreamer
+
+    m = load_model_from_file("models/quadruped/quadruped.xml")
+    batch = jax.vmap(lambda i: make_data(m))(jnp.arange(64))
+    batch = batch.replace(qpos=batch.qpos.at[:, 2].add(jnp.arange(64) * 0.01))
+    streamer = StateStreamer(m, env_indices=[0, 7, 63])
+    qpos, qvel = streamer.fetch(batch)
+    assert qpos.shape == (3, m.nq) and qvel.shape == (3, m.nv)
+    np.testing.assert_allclose(qpos[1, 2] - qpos[0, 2], 0.07, atol=1e-6)
+    np.testing.assert_allclose(qpos[2, 2] - qpos[0, 2], 0.63, atol=1e-5)

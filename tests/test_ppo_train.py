@@ -64,3 +64,21 @@ def test_ppo_smoke_and_checkpoint(tmp_path):
     action, _ = jax.jit(policy)(obs, jax.random.PRNGKey(0))
     assert action.shape == (1,)
     assert np.all(np.abs(np.asarray(action)) <= 1.0)
+
+
+def test_ppo_checkpoint_resume(tmp_path):
+    """Mid-training checkpoint/resume: restored state continues training."""
+    env = PendulumSwingupEnv()
+    ckpt = str(tmp_path / "ts.pkl")
+    common = dict(
+        environment=env, num_timesteps=1024, num_evals=2, episode_length=20,
+        unroll_length=4, num_minibatches=2, num_updates_per_batch=1,
+        num_envs=8, num_eval_envs=4, batch_size=8, seed=0,
+        normalize_observations=True,
+    )
+    train(**common, checkpoint_path=ckpt)
+    import os
+    assert os.path.exists(ckpt)
+    # resume: should start from the saved env_steps and keep training
+    make_policy, params, metrics = train(**common, restore_checkpoint_path=ckpt)
+    assert np.isfinite(metrics["eval/episode_reward"])

@@ -202,6 +202,56 @@ def capsule_box(xp1, xm1, s1, xp2, xm2, s2):
     return dist, pos, frame
 
 
+def plane_cylinder(xp1, xm1, s1, xp2, xm2, s2):
+    """Four candidate contacts: the low rim point of each cap (covers the
+    side-lying line contact) plus the lower cap's rim tripod (+-120 deg,
+    covers end-standing). Inactive slots filter out by distance."""
+    n = xm1[..., :, 2]
+    a = xm2[..., :, 2]
+    c = xp2
+    r, hl = s2[..., 0], s2[..., 1]
+    # radial direction of steepest descent in the cap plane
+    an = jnp.einsum("...i,...i->...", a, n)
+    d = n - an[..., None] * a
+    dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # degenerate (axis || n): any tangent
+    tangent = xm2[..., :, 0]
+    d_rn = jnp.where(dn > 1e-6, d / jnp.maximum(dn, 1e-12), tangent)
+
+    lower = -jnp.sign(an)[..., None]  # cap in the -n-ish direction
+    cap_lo = c + lower * hl[..., None] * a
+    cap_hi = c - lower * hl[..., None] * a
+
+    def rot_about_axis(v, axis, ang):
+        cs, sn = jnp.cos(ang), jnp.sin(ang)
+        return v * cs + jnp.cross(axis, v) * sn + axis * jnp.einsum("...i,...i->...", axis, v)[..., None] * (1 - cs)
+
+    rim = -r[..., None] * d_rn
+    pts = [
+        cap_lo + rim,
+        cap_hi + rim,
+        cap_lo + rot_about_axis(rim, a, 2.0 * jnp.pi / 3),
+        cap_lo + rot_about_axis(rim, a, -2.0 * jnp.pi / 3),
+    ]
+    pts = jnp.stack(pts, axis=-2)  # (..., 4, 3)
+    dist = jnp.einsum("...ki,...i->...k", pts - xp1[..., None, :], n)
+    pos = pts - 0.5 * dist[..., None] * n[..., None, :]
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
+
+
+def plane_ellipsoid(xp1, xm1, s1, xp2, xm2, s2):
+    """Support point of the ellipsoid in the -normal direction (1 contact)."""
+    n = xm1[..., :, 2]
+    n_l = jnp.einsum("...ji,...j->...i", xm2, -n)  # -n in ellipsoid frame
+    sn = s2 * n_l
+    w = s2 * sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-12)
+    p = xp2 + jnp.einsum("...ij,...j->...i", xm2, w)
+    dist = jnp.einsum("...i,...i->...", p - xp1, n)
+    pos = p - 0.5 * dist[..., None] * n
+    return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
+
+
 def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, verts, vert_mask):
     """Up to 4 deepest hull vertices of a convex mesh vs the plane.
 
@@ -229,6 +279,8 @@ _NARROWPHASE = {
     (int(GeomType.CAPSULE), int(GeomType.CAPSULE)): (capsule_capsule, 1),
     (int(GeomType.PLANE), int(GeomType.MESH)): (plane_mesh, 4),
     (int(GeomType.CAPSULE), int(GeomType.BOX)): (capsule_box, 3),
+    (int(GeomType.PLANE), int(GeomType.CYLINDER)): (plane_cylinder, 4),
+    (int(GeomType.PLANE), int(GeomType.ELLIPSOID)): (plane_ellipsoid, 1),
 }
 
 _MESH_PAIRS = {(int(GeomType.PLANE), int(GeomType.MESH))}

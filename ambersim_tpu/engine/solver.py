@@ -104,10 +104,21 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
 
 
 def solve(m: Model, d: Data) -> Data:
+    """Dispatch on opt.solver: Newton (default) or preconditioned nonlinear CG
+    (the reference selects CG for older engines — io_utils.py:161-183)."""
     s = m.skel
-    dtype = d.qpos.dtype
     if s.nefc == 0 or s.nv == 0:
         return d.replace(qacc=d.qacc_smooth)
+    from ambersim_tpu.core.types import SolverType
+
+    if m.opt.solver == int(SolverType.CG):
+        return _solve_cg(m, d)
+    return _solve_newton(m, d)
+
+
+def _solve_newton(m: Model, d: Data) -> Data:
+    s = m.skel
+    dtype = d.qpos.dtype
 
     J = d.efc_J
     aref = d.efc_aref
@@ -171,4 +182,69 @@ def solve(m: Model, d: Data) -> Data:
         qfrc_constraint=qfrc_constraint,
         efc_force=force,
         qacc_warmstart=ctx.qacc,
+    )
+
+
+def _solve_cg(m: Model, d: Data) -> Data:
+    """Polak-Ribiere nonlinear CG on the primal cost, preconditioned with
+    M^{-1} (mirrors MuJoCo's CG solver), exact line search per iteration."""
+    from ambersim_tpu.engine import linalg
+
+    s = m.skel
+    J = d.efc_J
+    aref = d.efc_aref
+
+    def grad_fn(qacc, jar):
+        _, force, _ = _row_costs(m, d, jar)
+        return d.qM @ (qacc - d.qacc_smooth) - J.T @ force
+
+    def make_ctx(qacc):
+        jar = J @ qacc - aref
+        return (qacc, jar, _total_cost(m, d, qacc, jar))
+
+    qacc, jar, cost = make_ctx(d.qacc_smooth)
+    if not (m.opt.disableflags & DisableBit.WARMSTART):
+        qw, jw, cw = make_ctx(d.qacc_warmstart)
+        better = cw < cost
+        qacc = jnp.where(better, qw, qacc)
+        jar = jnp.where(better, jw, jar)
+        cost = jnp.where(better, cw, cost)
+
+    tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
+    g = grad_fn(qacc, jar)
+    mg = linalg.cho_solve(d.qLD, g)
+    p = -mg
+
+    def body(carry):
+        qacc, jar, cost, prev_cost, g, mg, p = carry
+        jp = J @ p
+        t = _line_search(m, d, qacc, jar, p, jp)
+        qacc_n = qacc + t * p
+        jar_n = jar + t * jp
+        cost_n = _total_cost(m, d, qacc_n, jar_n)
+        improved = (cost_n < cost) & (prev_cost - cost > tol)
+        qacc_n = jnp.where(improved, qacc_n, qacc)
+        jar_n = jnp.where(improved, jar_n, jar)
+        g_n = grad_fn(qacc_n, jar_n)
+        mg_n = linalg.cho_solve(d.qLD, g_n)
+        denom = jnp.maximum(g @ mg, 1e-12)
+        beta = jnp.maximum(0.0, g_n @ (mg_n - mg) / denom)
+        p_n = -mg_n + beta * p
+        return (qacc_n, jar_n, jnp.where(improved, cost_n, cost), cost, g_n, mg_n, p_n)
+
+    carry = (qacc, jar, cost, jnp.asarray(jnp.inf, cost.dtype), g, mg, p)
+    iters = max(m.opt.iterations, 1)
+    if iters <= 8:
+        for _ in range(iters):
+            carry = body(carry)
+    else:
+        carry = jax.lax.scan(lambda c, _: (body(c), None), carry, None, length=iters)[0]
+    qacc, jar = carry[0], carry[1]
+
+    _, force, _ = _row_costs(m, d, jar)
+    return d.replace(
+        qacc=qacc,
+        qfrc_constraint=J.T @ force,
+        efc_force=force,
+        qacc_warmstart=qacc,
     )

@@ -161,3 +161,43 @@ def test_contact_rollout_parity(name, xml, steps, atol):
 
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=atol, err_msg=f"{name} qpos")
     np.testing.assert_allclose(d.qvel, mj_data.qvel, atol=10 * atol, err_msg=f"{name} qvel")
+
+
+def test_cg_solver_rollout():
+    """CG solver option (reference io_utils.py:161-183 fallback) tracks
+    MuJoCo's CG on a contact rollout."""
+    mj_model = mujoco.MjModel.from_xml_string(BALL_PLANE)
+    mj_model.opt.solver = mujoco.mjtSolver.mjSOL_CG
+    mj_model.opt.iterations = 20
+    mj_data = mujoco.MjData(mj_model)
+    _, model = _pair(BALL_PLANE)
+    from ambersim_tpu.core.types import SolverType
+
+    model = model.replace(opt=model.opt.replace(solver=int(SolverType.CG), iterations=20))
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(300):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(300):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-2)
+
+
+def test_plane_cylinder_ellipsoid_drops():
+    for geo, ang in (
+        ('<geom type="cylinder" size="0.05 0.1"/>', "1.3 0.2 0"),
+        ('<geom type="ellipsoid" size="0.05 0.08 0.12"/>', "0.7 0.2 0"),
+    ):
+        xml = f"""<mujoco><option timestep="0.002"/><worldbody>
+        <geom type="plane" size="0 0 1"/>
+        <body pos="0 0 0.3" euler="{ang}"><freejoint/>{geo}</body>
+        </worldbody></mujoco>"""
+        mj_model, model = _pair(xml)
+        mj_data = mujoco.MjData(mj_model)
+        d = make_data(model)
+        stp = jax.jit(step)
+        for _ in range(400):
+            mujoco.mj_step(mj_model, mj_data)
+        for _ in range(400):
+            d = stp(model, d)
+        np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-2)

@@ -252,6 +252,37 @@ def plane_ellipsoid(xp1, xm1, s1, xp2, xm2, s2):
     return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
 
 
+_BOX_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], dtype=np.float32)
+
+
+def box_box(xp1, xm1, s1, xp2, xm2, s2):
+    """Corner-based box-box: point-box tests for all 16 corners (8 of each box
+    against the other), keeping the 8 deepest. Covers face-face stacking and
+    corner impacts; pure edge-edge crossings are approximated by the nearest
+    corners."""
+    corners = jnp.asarray(_BOX_CORNERS)
+
+    def corners_of(xp, xm, size):
+        return xp[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm, corners * size[..., None, :])
+
+    # corners of box2 tested against box1: normal must point 1 -> 2
+    c2 = corners_of(xp2, xm2, s2)  # (..., 8, 3)
+    d21, p21, n21 = _sphere_box_raw(c2, jnp.zeros_like(s2[..., 0])[..., None], xp1[..., None, :], xm1[..., None, :, :], s1[..., None, :])
+    n21 = -n21  # _sphere_box_raw normal points center->box (2->1); flip to 1->2
+    # corners of box1 tested against box2
+    c1 = corners_of(xp1, xm1, s1)
+    d12, p12, n12 = _sphere_box_raw(c1, jnp.zeros_like(s1[..., 0])[..., None], xp2[..., None, :], xm2[..., None, :, :], s2[..., None, :])
+
+    dist = jnp.concatenate([d21, d12], axis=-1)  # (..., 16)
+    pos = jnp.concatenate([p21, p12], axis=-2)
+    n = jnp.concatenate([n21, n12], axis=-2)
+    idx = jnp.argsort(dist, axis=-1)[..., :8]
+    dist = jnp.take_along_axis(dist, idx, axis=-1)
+    pos = jnp.take_along_axis(pos, idx[..., None], axis=-2)
+    n = jnp.take_along_axis(n, idx[..., None], axis=-2)
+    return dist, pos, _make_frame(n)
+
+
 def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, verts, vert_mask):
     """Up to 4 deepest hull vertices of a convex mesh vs the plane.
 
@@ -279,6 +310,7 @@ _NARROWPHASE = {
     (int(GeomType.CAPSULE), int(GeomType.CAPSULE)): (capsule_capsule, 1),
     (int(GeomType.PLANE), int(GeomType.MESH)): (plane_mesh, 4),
     (int(GeomType.CAPSULE), int(GeomType.BOX)): (capsule_box, 3),
+    (int(GeomType.BOX), int(GeomType.BOX)): (box_box, 8),
     (int(GeomType.PLANE), int(GeomType.CYLINDER)): (plane_cylinder, 4),
     (int(GeomType.PLANE), int(GeomType.ELLIPSOID)): (plane_ellipsoid, 1),
 }

@@ -201,3 +201,25 @@ def test_plane_cylinder_ellipsoid_drops():
         for _ in range(400):
             d = stp(model, d)
         np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-2)
+
+
+def test_box_box_stacking():
+    """Box-on-box stacking (corner-contact narrowphase) tracks MuJoCo."""
+    xml = """<mujoco><option timestep="0.002"/><worldbody>
+    <geom type="plane" size="0 0 1"/>
+    <body pos="0 0 0.05"><freejoint/><geom type="box" size="0.1 0.1 0.05"/></body>
+    <body pos="0.02 0.01 0.18" euler="0 0 0.3"><freejoint/><geom type="box" size="0.06 0.06 0.04"/></body>
+    </worldbody></mujoco>"""
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    mj_data = mujoco.MjData(mj_model)
+    _, model = None, None
+    from ambersim_tpu.engine.setconst import set_constants as _sc
+
+    model = _sc(compile_spec(parse_mjcf_string(xml)))
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(500):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(500):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=5e-3)

@@ -301,8 +301,10 @@ class Model:
     pair_margin: jax.Array  # (npairexp,)
     pair_gap: jax.Array  # (npairexp,)
 
-    # mesh data (padded convex hulls), empty placeholder until meshes land
-    mesh_vert: jax.Array  # (nmeshvert_total, 3)
+    # mesh data: padded convex hulls in the principal frame
+    mesh_vert: jax.Array  # (nmesh, maxvert, 3)
+    mesh_face_normal: jax.Array  # (nmesh, maxface, 3) outward unit normals
+    mesh_face_dist: jax.Array  # (nmesh, maxface) plane offsets (n.x = d on face)
 
     # ---- convenience pass-throughs to the static skeleton ----
     @property

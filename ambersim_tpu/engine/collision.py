@@ -283,11 +283,9 @@ def box_box(xp1, xm1, s1, xp2, xm2, s2):
     return dist, pos, _make_frame(n)
 
 
-def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, verts, vert_mask):
-    """Up to 4 deepest hull vertices of a convex mesh vs the plane.
-
-    verts: (P, V, 3) mesh-local hull vertices (padded); vert_mask: (P, V)
-    static validity mask for the padding."""
+def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
+    """Up to 4 deepest hull vertices of a convex mesh vs the plane."""
+    verts, vert_mask, _, _ = mesh2
     n = xm1[..., :, 2]
     pts = xp2[:, None, :] + jnp.einsum("...ij,...vj->...vi", xm2, verts)
     dvert = jnp.einsum("...vi,...i->...v", pts - xp1[:, None, :], n)
@@ -297,6 +295,120 @@ def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, verts, vert_mask):
     pos = jnp.take_along_axis(pts, idx[..., None], axis=-2) - 0.5 * dist[..., None] * n[..., None, :]
     frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
     return dist, pos, frame
+
+
+def _point_hull_sd(p_local, face_n, face_d):
+    """Signed distance of points to a convex hull via face planes.
+
+    p_local (..., K, 3) in mesh frame; face_n (..., F, 3), face_d (..., F).
+    Returns (sd (..., K), outward normal at argmax face (..., K, 3)).
+    Exact for interior points and points nearest a face; approximate past
+    edges/corners (adequate for contact resolution near the surface)."""
+    plane_d = jnp.einsum("...ki,...fi->...kf", p_local, face_n) - face_d[..., None, :]
+    sd = jnp.max(plane_d, axis=-1)
+    idx = jnp.argmax(plane_d, axis=-1)
+    n = jnp.take_along_axis(
+        jnp.broadcast_to(face_n[..., None, :, :], p_local.shape[:-1] + face_n.shape[-2:]),
+        idx[..., None, None],
+        axis=-2,
+    )[..., 0, :]
+    return sd, n
+
+
+def _mesh_frame_points(pts_world, xp_m, xm_m):
+    return jnp.einsum("...ji,...kj->...ki", xm_m, pts_world - xp_m[..., None, :])
+
+
+def _points_vs_hull(pts_world, r, xp_m, xm_m, face_n, face_d):
+    """Contacts of spheres (centers pts_world (..., K, 3), radius r) against a
+    hull. Returns dist (..., K), pos, world outward normal (..., K, 3)."""
+    p_l = _mesh_frame_points(pts_world, xp_m, xm_m)
+    sd, n_l = _point_hull_sd(p_l, face_n, face_d)
+    n_w = jnp.einsum("...ij,...kj->...ki", xm_m, n_l)
+    dist = sd - r
+    # midpoint of overlap between sphere surface and hull face
+    pos = pts_world - (r + 0.5 * dist)[..., None] * n_w
+    return dist, pos, n_w
+
+
+def sphere_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
+    _, _, fn2, fd2 = mesh2
+    dist, pos, n_w = _points_vs_hull(xp1[..., None, :], s1[..., 0:1], xp2, xm2, fn2, fd2)
+    # normal out of the hull = g2 -> g1; flip to point g1 -> g2
+    return dist, pos, _make_frame(-n_w)
+
+
+def capsule_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
+    """Endpoints + the convex-minimizing segment point (ternary search on the
+    piecewise-linear hull distance)."""
+    _, _, fn2, fd2 = mesh2
+    r, hl = s1[..., 0], s1[..., 1]
+    axis = xm1[..., :, 2]
+
+    def sd_at(t):
+        p = xp1 + t[..., None] * axis
+        p_l = _mesh_frame_points(p[..., None, :], xp2, xm2)
+        sd, _ = _point_hull_sd(p_l, fn2, fd2)
+        return sd[..., 0]
+
+    lo, hi = -hl, hl
+    for _ in range(12):  # ternary search: sd(t) is convex (max of affines)
+        m1 = lo + (hi - lo) / 3
+        m2 = hi - (hi - lo) / 3
+        left = sd_at(m1) < sd_at(m2)
+        hi = jnp.where(left, m2, hi)
+        lo = jnp.where(left, lo, m1)
+    tmid = 0.5 * (lo + hi)
+    pts = jnp.stack([xp1 + hl[..., None] * axis, xp1 - hl[..., None] * axis, xp1 + tmid[..., None] * axis], axis=-2)
+    dist, pos, n_w = _points_vs_hull(pts, r[..., None], xp2, xm2, fn2, fd2)
+    return dist, pos, _make_frame(-n_w)
+
+
+def box_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
+    """Box corners vs hull planes + hull verts vs box; deepest 8 kept."""
+    verts2, vmask2, fn2, fd2 = mesh2
+    corners = jnp.asarray(_BOX_CORNERS)
+    c1 = xp1[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm1, corners * s1[..., None, :])
+    d_a, p_a, n_a = _points_vs_hull(c1, jnp.zeros_like(c1[..., 0]), xp2, xm2, fn2, fd2)
+    n_a = -n_a  # out-of-hull -> g1-to-g2
+
+    vw = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, verts2)
+    d_b, p_b, n_b = _sphere_box_raw(vw, jnp.zeros_like(vw[..., 0]), xp1[..., None, :], xm1[..., None, :, :], s1[..., None, :])
+    # n_b points vert -> box (g2 -> g1); flip
+    n_b = -n_b
+    d_b = jnp.where(jnp.asarray(vmask2), d_b, _BIG)
+
+    dist = jnp.concatenate([d_a, d_b], axis=-1)
+    pos = jnp.concatenate([p_a, p_b], axis=-2)
+    n = jnp.concatenate([n_a, n_b], axis=-2)
+    idx = jnp.argsort(dist, axis=-1)[..., :8]
+    dist = jnp.take_along_axis(dist, idx, axis=-1)
+    pos = jnp.take_along_axis(pos, idx[..., None], axis=-2)
+    n = jnp.take_along_axis(n, idx[..., None], axis=-2)
+    return dist, pos, _make_frame(n)
+
+
+def mesh_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh1, mesh2):
+    """Hull verts of each mesh vs the other hull's planes; deepest 8 kept."""
+    verts1, vmask1, fn1, fd1 = mesh1
+    verts2, vmask2, fn2, fd2 = mesh2
+    v2w = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, verts2)
+    d_a, p_a, n_a = _points_vs_hull(v2w, jnp.zeros_like(v2w[..., 0]), xp1, xm1, fn1, fd1)
+    d_a = jnp.where(jnp.asarray(vmask2), d_a, _BIG)  # n_a out of hull1 = g1 -> g2 ok
+
+    v1w = xp1[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm1, verts1)
+    d_b, p_b, n_b = _points_vs_hull(v1w, jnp.zeros_like(v1w[..., 0]), xp2, xm2, fn2, fd2)
+    n_b = -n_b  # out of hull2 = g2 -> g1; flip
+    d_b = jnp.where(jnp.asarray(vmask1), d_b, _BIG)
+
+    dist = jnp.concatenate([d_a, d_b], axis=-1)
+    pos = jnp.concatenate([p_a, p_b], axis=-2)
+    n = jnp.concatenate([n_a, n_b], axis=-2)
+    idx = jnp.argsort(dist, axis=-1)[..., :8]
+    dist = jnp.take_along_axis(dist, idx, axis=-1)
+    pos = jnp.take_along_axis(pos, idx[..., None], axis=-2)
+    n = jnp.take_along_axis(n, idx[..., None], axis=-2)
+    return dist, pos, _make_frame(n)
 
 
 # dispatch table keyed by (type1, type2) with type1 <= type2 (compiler orders pairs)
@@ -309,13 +421,17 @@ _NARROWPHASE = {
     (int(GeomType.SPHERE), int(GeomType.BOX)): (sphere_box, 1),
     (int(GeomType.CAPSULE), int(GeomType.CAPSULE)): (capsule_capsule, 1),
     (int(GeomType.PLANE), int(GeomType.MESH)): (plane_mesh, 4),
+    (int(GeomType.SPHERE), int(GeomType.MESH)): (sphere_mesh, 1),
+    (int(GeomType.CAPSULE), int(GeomType.MESH)): (capsule_mesh, 3),
+    (int(GeomType.BOX), int(GeomType.MESH)): (box_mesh, 8),
+    (int(GeomType.MESH), int(GeomType.MESH)): (mesh_mesh, 8),
     (int(GeomType.CAPSULE), int(GeomType.BOX)): (capsule_box, 3),
     (int(GeomType.BOX), int(GeomType.BOX)): (box_box, 8),
     (int(GeomType.PLANE), int(GeomType.CYLINDER)): (plane_cylinder, 4),
     (int(GeomType.PLANE), int(GeomType.ELLIPSOID)): (plane_ellipsoid, 1),
 }
 
-_MESH_PAIRS = {(int(GeomType.PLANE), int(GeomType.MESH))}
+
 
 SUPPORTED_PAIRS = set(_NARROWPHASE)
 
@@ -379,11 +495,16 @@ def collision(m: Model, d: Data) -> Data:
             d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
             d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
         )
-        if tkey in _MESH_PAIRS:
-            meshids = s.geom_meshid[g2]  # static
+        def mesh_tuple(gs):
+            meshids = s.geom_meshid[gs]  # static
             verts = m.mesh_vert[meshids]  # (P, V, 3)
-            vert_mask = np.arange(verts.shape[1])[None, :] < s.mesh_vertnum[meshids][:, None]
-            args = args + (verts, vert_mask)
+            vert_mask = np.arange(m.mesh_vert.shape[1])[None, :] < s.mesh_vertnum[meshids][:, None]
+            return (verts, vert_mask, m.mesh_face_normal[meshids], m.mesh_face_dist[meshids])
+
+        if tkey[0] == int(GeomType.MESH):
+            args = args + (mesh_tuple(g1),)
+        if tkey[1] == int(GeomType.MESH):
+            args = args + (mesh_tuple(g2),)
         dist, pos, frame = fn(*args)  # (npairs_in_group, ncon_per[, ...])
         friction, solref, solimp, margin, gap = _mix_params(m, g1, g2)
         # explicit <pair> overrides

@@ -67,3 +67,46 @@ def test_hull_mass_properties_tetra():
     np.testing.assert_allclose(com, [1.25, 1.25, 1.375], rtol=1e-9)
     w = np.sort(np.linalg.eigvalsh(imat * 1000))[::-1]
     np.testing.assert_allclose(w, [36.1232, 27.3438, 16.2205], rtol=1e-4)
+
+
+def test_mesh_pair_matrix(tmp_path):
+    """sphere/capsule/box/mesh vs mesh narrowphase: a mixed pile tracks the C
+    engine through its first impacts (0.2 s; later multi-impact chains are
+    chaotic between any two solvers)."""
+    hv, hf = convex_hull(
+        np.array([[0.0, 0, 0], [0.12, 0, 0], [0, 0.1, 0], [0, 0, 0.14], [0.1, 0.1, 0.02], [0.06, 0.05, 0.1]])
+    )
+    save_obj(os.path.join(tmp_path, "rock.obj"), hv, hf)
+    xml = f"""
+<mujoco><option timestep="0.002"/><compiler meshdir="{tmp_path}"/>
+<asset><mesh name="rock" file="rock.obj"/></asset>
+<worldbody><geom name="floor" type="plane" size="0 0 1"/>
+<body pos="0 0 0.1" euler="0.5 0.3 0.1"><freejoint/><geom type="mesh" mesh="rock" density="800"/></body>
+<body pos="0.02 0.01 0.35" euler="1.5 0.2 0"><freejoint/><geom type="mesh" mesh="rock" density="600"/></body>
+<body pos="-0.02 0.02 0.55"><freejoint/><geom type="sphere" size="0.04" density="700"/></body>
+<body pos="0.03 -0.02 0.75" euler="0.9 0 0.4"><freejoint/><geom type="box" size="0.05 0.04 0.03" density="650"/></body>
+<body pos="-0.03 -0.01 0.95" euler="0.3 1.1 0"><freejoint/><geom type="capsule" size="0.025 0.06" density="700"/></body>
+</worldbody></mujoco>"""
+    path = os.path.join(tmp_path, "pile.xml")
+    with open(path, "w") as f:
+        f.write(xml)
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+    # the full pair-type matrix is present
+    tpairs = set(
+        (int(model.skel.geom_type[a]), int(model.skel.geom_type[b]))
+        for a, b in zip(model.skel.pair_geom1, model.skel.pair_geom2)
+    )
+    assert (7, 7) in tpairs and (2, 7) in tpairs and (3, 7) in tpairs and (6, 7) in tpairs
+
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(100):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(100):
+        d = stp(model, d)
+    pos_idx = np.concatenate([np.arange(7 * i, 7 * i + 3) for i in range(5)])
+    np.testing.assert_allclose(
+        np.asarray(d.qpos)[pos_idx], mj_data.qpos[pos_idx], atol=5e-3, err_msg="mesh pile positions"
+    )

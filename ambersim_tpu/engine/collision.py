@@ -27,6 +27,10 @@ from ambersim_tpu.core.types import Contact, Data, GeomType, Model
 
 _BIG = 1e10
 
+_BOX_CORNERS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], dtype=np.float32
+)
+
 
 def _make_frame(n: jax.Array) -> jax.Array:
     """(..., 3) normal -> (..., 3, 3) frame rows (n, t1, t2), branch-free.
@@ -82,9 +86,7 @@ def plane_capsule(xp1, xm1, s1, xp2, xm2, s2):
 def plane_box(xp1, xm1, s1, xp2, xm2, s2):
     """Up to 4 deepest corners of the box vs the plane."""
     n = xm1[..., :, 2]
-    corners = jnp.asarray(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], dtype=xp2.dtype
-    )  # (8, 3)
+    corners = jnp.asarray(_BOX_CORNERS, dtype=xp2.dtype)  # (8, 3)
     pts = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, corners * s2[..., None, :])
     d = jnp.einsum("...ki,...i->...k", pts - xp1[..., None, :], n)  # (..., 8)
     # take the 4 smallest distances (static top-k)
@@ -250,9 +252,6 @@ def plane_ellipsoid(xp1, xm1, s1, xp2, xm2, s2):
     dist = jnp.einsum("...i,...i->...", p - xp1, n)
     pos = p - 0.5 * dist[..., None] * n
     return dist[..., None], pos[..., None, :], _make_frame(n)[..., None, :, :]
-
-
-_BOX_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], dtype=np.float32)
 
 
 def box_box(xp1, xm1, s1, xp2, xm2, s2):
@@ -525,7 +524,6 @@ def collision(m: Model, d: Data) -> Data:
         dist_all = dist_all.at[slots].set(dist.reshape(-1))
         pos_all = pos_all.at[slots].set(pos.reshape(-1, 3))
         frame_all = frame_all.at[slots].set(frame.reshape(-1, 3, 3))
-        rep = lambda x, w: jnp.repeat(x, ncon_per, axis=0).reshape(len(idx) * ncon_per, *x.shape[1:])  # noqa: E731
         fric_all = fric_all.at[slots].set(jnp.repeat(friction, ncon_per, axis=0))
         solref_all = solref_all.at[slots].set(jnp.repeat(solref, ncon_per, axis=0))
         solimp_all = solimp_all.at[slots].set(jnp.repeat(solimp, ncon_per, axis=0))

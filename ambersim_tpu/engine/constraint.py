@@ -64,7 +64,7 @@ _CACHE: dict = {}
 
 def _con_support(s) -> np.ndarray:
     """(ncon, nv) static signed support: +1 dof drives geom2 body, -1 geom1."""
-    key = (id(s), "con_support")
+    key = (s, "con_support")
     if key not in _CACHE:
         from ambersim_tpu.engine.smooth import _body_dof_support
 
@@ -154,9 +154,9 @@ def make_constraint(m: Model, d: Data) -> Data:
             diag_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
             nrow = 3 if etype == EqType.CONNECT else 6
             if etype == EqType.WELD:
-                relq = m.eq_data[e, 6:10]
-                q2r = am.mul_quat(d.xquat[b2], relq)
-                rotres = am.quat_sub(d.xquat[b1], q2r)
+                relq = m.eq_data[e, 6:10]  # q1^-1 q2 at qpos0
+                q2_target = am.mul_quat(d.xquat[b1], relq)
+                rotres = am.quat_sub(d.xquat[b2], q2_target)
                 jacr = (d.cdof[:, :3] * ssup[0][:, None]).T  # (3, nv)
                 torquescale = jnp.where(m.eq_data[e, 10] > 0, m.eq_data[e, 10], 1.0)
                 res = jnp.concatenate([pos3, rotres * torquescale])

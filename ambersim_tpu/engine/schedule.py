@@ -62,7 +62,8 @@ class TreeSchedule:
 
 
 def tree_schedule(s) -> TreeSchedule:
-    key = id(s)
-    if key not in _CACHE:
-        _CACHE[key] = TreeSchedule(s)
-    return _CACHE[key]
+    # Skeleton is content-hashed (types.py), so it is its own safe cache key
+    # (id() keys break when a GC'd skeleton's address is reused).
+    if s not in _CACHE:
+        _CACHE[s] = TreeSchedule(s)
+    return _CACHE[s]

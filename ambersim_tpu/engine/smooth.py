@@ -302,7 +302,7 @@ _MOMENT_CACHE: dict = {}
 def _joint_trn_arrays(s):
     """Static helpers for joint-transmission actuators: (act ids on hinge/slide,
     their dof addrs, qpos addrs)."""
-    key = (id(s), "trn")
+    key = (s, "trn")
     if key not in _MOMENT_CACHE:
         scalar_u, scalar_dof, scalar_qa = [], [], []
         other_u = []
@@ -379,7 +379,10 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     act_input = ctrl
     if s.na:
         dyn_u = np.nonzero(s.actuator_dyntype != int(DynType.NONE))[0]
-        is_filter = jnp.asarray(s.actuator_dyntype[dyn_u] == int(DynType.FILTER))
+        is_filter = jnp.asarray(
+            (s.actuator_dyntype[dyn_u] == int(DynType.FILTER))
+            | (s.actuator_dyntype[dyn_u] == int(DynType.FILTEREXACT))
+        )
         tau = jnp.maximum(m.actuator_dynprm[dyn_u, 0], 1e-8)
         act_dot = jnp.where(is_filter, (ctrl[dyn_u] - d.act) / tau, ctrl[dyn_u])
         act_input = act_input.at[dyn_u].set(d.act)
@@ -421,7 +424,7 @@ _SUPPORT_CACHE: dict = {}
 
 
 def _body_dof_support(s):
-    key = (id(s), "support")
+    key = (s, "support")
     if key not in _SUPPORT_CACHE:
         sup = np.zeros((s.nbody, s.nv), dtype=bool)
         for b in range(s.nbody):

@@ -63,28 +63,7 @@ def _ip(a: np.ndarray):
     return np.ascontiguousarray(a, dtype=np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int))
 
 
-def _np_quat_to_mat(q):
-    w, x, y, z = q
-    return np.array(
-        [
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ]
-    )
-
-
-def _np_mul_quat(u, v):
-    uw, ux, uy, uz = u
-    vw, vx, vy, vz = v
-    return np.array(
-        [
-            uw * vw - ux * vx - uy * vy - uz * vz,
-            uw * vx + ux * vw + uy * vz - uz * vy,
-            uw * vy - ux * vz + uy * vw + uz * vx,
-            uw * vz + ux * vy - uy * vx + uz * vw,
-        ]
-    )
+from ambersim_tpu.mjcf.parser import _np_mul_quat, _np_quat_to_mat  # noqa: E402
 
 
 class _ChainModel:

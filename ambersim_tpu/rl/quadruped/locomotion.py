@@ -56,8 +56,8 @@ class QuadrupedLocomotionEnv(MjxEnv):
 
         quat = data.qpos[3:7]
         gravity_body = am.rotate_inv(jnp.array([0.0, 0.0, -1.0]), quat)
-        lin_vel = am.rotate_inv(data.qvel[:3], quat)
-        ang_vel = am.rotate_inv(data.qvel[3:6], quat)
+        lin_vel = am.rotate_inv(data.qvel[:3], quat)  # translation dofs: world frame
+        ang_vel = data.qvel[3:6]  # free-joint rotation dofs are already body-frame
         return jnp.concatenate(
             [
                 gravity_body,

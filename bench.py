@@ -61,8 +61,10 @@ def main():
     t1 = time.perf_counter()
 
     steps_per_sec = NUM_ENVS * NUM_STEPS / (t1 - t0)
-    n_chips = max(1, len(jax.devices()))
-    value = steps_per_sec / n_chips
+    # the rollout runs unsharded on one device, so per-chip = total here;
+    # multi-chip runs must shard the env axis (parallel.shard_batch) before
+    # dividing by the device count
+    value = steps_per_sec
     print(
         json.dumps(
             {

@@ -14,25 +14,29 @@ from ambersim_tpu.rl.pendulum import PendulumSwingupConfig, PendulumSwingupEnv
 from ambersim_tpu.rl.ppo import train as ppo_train
 
 if __name__ == "__main__":
-    env = PendulumSwingupEnv()
+    # 2 physics substeps per control (25 Hz actions) makes the torque-limited
+    # swingup's credit assignment tractable; reaches ~-280/episode in ~6 min
+    # on one v5e chip (scripted energy-shaping expert: ~-190..-370 depending
+    # on the initial state distribution)
+    env = PendulumSwingupEnv(PendulumSwingupConfig(physics_steps_per_control_step=2))
 
     train_fn = functools.partial(
         ppo_train,
-        num_timesteps=2_000_000,
+        num_timesteps=20_000_000,
         num_evals=10,
-        reward_scaling=0.1,
+        reward_scaling=0.05,
         episode_length=200,
         normalize_observations=True,
         action_repeat=1,
-        unroll_length=10,
+        unroll_length=20,
         num_minibatches=32,
         num_updates_per_batch=8,
-        discounting=0.96,
+        discounting=0.985,
         learning_rate=3e-4,
-        entropy_cost=1e-3,
+        entropy_cost=3e-3,
         num_envs=1024,
         batch_size=512,
-        seed=0,
+        seed=2,
     )
 
     times = [time.time()]

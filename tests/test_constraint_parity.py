@@ -223,3 +223,35 @@ def test_box_box_stacking():
     for _ in range(500):
         d = stp(model, d)
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=5e-3)
+
+
+CONNECT_SWING = """<mujoco><compiler angle="radian"/><option timestep="0.002"/><worldbody>
+<body name="b1" pos="0 0 1"><joint name="j1" axis="0 1 0"/><geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.03"/></body>
+<body name="b2" pos="0 0.1 0.6"><joint name="j2" axis="1 0 0"/><geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.03"/></body>
+</worldbody>
+<equality><connect body1="b1" body2="b2" anchor="0 0 -0.4"/></equality></mujoco>"""
+
+WELD_PAIR = """<mujoco><compiler angle="radian"/><option timestep="0.002"/><worldbody>
+<body name="b1" pos="0.1 0.2 1.0" euler="0 0 0.5"><joint name="j1" axis="0 1 0"/><geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.03"/></body>
+<body name="b2" pos="0.4 0.1 0.8" euler="0.3 0 0"><joint name="j2" axis="1 0 0"/><geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.03"/></body>
+</worldbody>
+<equality><weld body1="b1" body2="b2" anchor="0.1 0 -0.2"/></equality></mujoco>"""
+
+
+@pytest.mark.parametrize("name,xml", [("connect", CONNECT_SWING), ("weld", WELD_PAIR)])
+def test_connect_weld_equality(name, xml):
+    """connect/weld compile (counterpart anchors, qpos0 relpose) and dynamics
+    match MuJoCo (review finding: these were previously zero-filled)."""
+    mj_model, model = _pair(xml)
+    np.testing.assert_allclose(
+        np.asarray(model.eq_data[0]), mj_model.eq_data[0][:11], atol=1e-5, err_msg=f"{name} eq_data"
+    )
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qvel[:] = [1.5, -0.8]
+    d = make_data(model).replace(qvel=jnp.array([1.5, -0.8]))
+    stp = jax.jit(step)
+    for _ in range(300):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(300):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-2, err_msg=f"{name} qpos")

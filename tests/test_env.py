@@ -94,3 +94,27 @@ def test_state_streamer_single_transfer():
     assert qpos.shape == (3, m.nq) and qvel.shape == (3, m.nv)
     np.testing.assert_allclose(qpos[1, 2] - qpos[0, 2], 0.07, atol=1e-6)
     np.testing.assert_allclose(qpos[2, 2] - qpos[0, 2], 0.63, atol=1e-5)
+
+
+def test_domain_randomization_vmap_over_model():
+    """Numeric model params are traced leaves: vmap over per-env body masses
+    (domain randomization) without recompilation (types.py design note)."""
+    from ambersim_tpu.engine import make_data, step
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    m = load_model_from_file("models/pendulum/pendulum.xml")
+    B = 8
+    masses = jnp.stack([jnp.asarray(m.body_mass) * s for s in jnp.linspace(0.5, 2.0, B)])
+    models = jax.vmap(lambda mass: m.replace(body_mass=mass))(masses)
+    batch = jax.vmap(lambda i: make_data(m).replace(qpos=jnp.array([1.0]), ctrl=jnp.array([1.0])))(jnp.arange(B))
+
+    @jax.jit
+    def stepped(models, batch):
+        return jax.vmap(step)(models, batch)
+
+    out = stepped(models, batch)
+    accs = np.asarray(out.qvel[:, 0])
+    # each env sees different dynamics; with fixed torque, heavier pendulums
+    # fall harder toward gravity (monotone more-negative qvel)
+    assert np.all(np.diff(accs) < 0), accs
+    assert len(np.unique(accs)) == B

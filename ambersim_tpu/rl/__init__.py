@@ -7,3 +7,26 @@ networks/distributions D7, running statistics D8, checkpoint I/O D9).
 
 from ambersim_tpu.rl.base import MjxEnv, State  # noqa: F401
 from ambersim_tpu.rl.registry import get_environment, register_environment  # noqa: F401
+
+# pre-register packaged environments (instantiation — and model compilation —
+# stays lazy; cf. brax's registry used at reference ex_swingup.py:17-18)
+
+
+def _register_packaged() -> None:
+    from ambersim_tpu.rl.registry import register_environment
+
+    def _pendulum(**kwargs):
+        from ambersim_tpu.rl.pendulum import PendulumSwingupEnv
+
+        return PendulumSwingupEnv(**kwargs)
+
+    def _quadruped(**kwargs):
+        from ambersim_tpu.rl.quadruped import QuadrupedLocomotionEnv
+
+        return QuadrupedLocomotionEnv(**kwargs)
+
+    register_environment("pendulum_swingup", _pendulum)
+    register_environment("quadruped_locomotion", _quadruped)
+
+
+_register_packaged()

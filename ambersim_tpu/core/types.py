@@ -303,8 +303,10 @@ class Model:
 
     # mesh data: padded convex hulls in the principal frame
     mesh_vert: jax.Array  # (nmesh, maxvert, 3)
-    mesh_face_normal: jax.Array  # (nmesh, maxface, 3) outward unit normals
+    mesh_face_normal: jax.Array  # (nmesh, maxface, 3) outward unit normals (merged polygon faces)
     mesh_face_dist: jax.Array  # (nmesh, maxface) plane offsets (n.x = d on face)
+    mesh_face_vert: jax.Array  # (nmesh, maxface, maxfv, 3) face polygon rings, last-vert padded
+    mesh_edge: jax.Array  # (nmesh, maxedge, 2, 3) unique edge segments, padded
 
     # ---- convenience pass-throughs to the static skeleton ----
     @property
@@ -351,7 +353,7 @@ class Data:
     act: jax.Array  # (na,)
     ctrl: jax.Array  # (nu,)
     qfrc_applied: jax.Array  # (nv,)
-    xfrc_applied: jax.Array  # (nbody, 6) — (torque, force) at body com, world
+    xfrc_applied: jax.Array  # (nbody, 6) — (force, torque) at body com, world (MuJoCo layout)
     qacc_warmstart: jax.Array  # (nv,)
 
     # kinematics

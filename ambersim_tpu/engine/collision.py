@@ -255,36 +255,19 @@ def plane_ellipsoid(xp1, xm1, s1, xp2, xm2, s2):
 
 
 def box_box(xp1, xm1, s1, xp2, xm2, s2):
-    """Corner-based box-box: point-box tests for all 16 corners (8 of each box
-    against the other), keeping the 8 deepest. Covers face-face stacking and
-    corner impacts; pure edge-edge crossings are approximated by the nearest
-    corners."""
-    corners = jnp.asarray(_BOX_CORNERS)
+    """Exact SAT box-box with a clipped contact manifold (engine.convex)."""
+    from ambersim_tpu.engine import convex
 
-    def corners_of(xp, xm, size):
-        return xp[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm, corners * size[..., None, :])
-
-    # corners of box2 tested against box1: normal must point 1 -> 2
-    c2 = corners_of(xp2, xm2, s2)  # (..., 8, 3)
-    d21, p21, n21 = _sphere_box_raw(c2, jnp.zeros_like(s2[..., 0])[..., None], xp1[..., None, :], xm1[..., None, :, :], s1[..., None, :])
-    n21 = -n21  # _sphere_box_raw normal points center->box (2->1); flip to 1->2
-    # corners of box1 tested against box2
-    c1 = corners_of(xp1, xm1, s1)
-    d12, p12, n12 = _sphere_box_raw(c1, jnp.zeros_like(s1[..., 0])[..., None], xp2[..., None, :], xm2[..., None, :, :], s2[..., None, :])
-
-    dist = jnp.concatenate([d21, d12], axis=-1)  # (..., 16)
-    pos = jnp.concatenate([p21, p12], axis=-2)
-    n = jnp.concatenate([n21, n12], axis=-2)
-    idx = jnp.argsort(dist, axis=-1)[..., :8]
-    dist = jnp.take_along_axis(dist, idx, axis=-1)
-    pos = jnp.take_along_axis(pos, idx[..., None], axis=-2)
-    n = jnp.take_along_axis(n, idx[..., None], axis=-2)
-    return dist, pos, _make_frame(n)
+    h1 = convex.box_hull(xp1, xm1, s1)
+    h2 = convex.box_hull(xp2, xm2, s2)
+    dist, pos, n = convex.hull_hull(h1, h2, 8)
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
 
 
 def plane_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
     """Up to 4 deepest hull vertices of a convex mesh vs the plane."""
-    verts, vert_mask, _, _ = mesh2
+    verts, vert_mask = mesh2[0], mesh2[1]
     n = xm1[..., :, 2]
     pts = xp2[:, None, :] + jnp.einsum("...ij,...vj->...vi", xm2, verts)
     dvert = jnp.einsum("...vi,...i->...v", pts - xp1[:, None, :], n)
@@ -331,7 +314,7 @@ def _points_vs_hull(pts_world, r, xp_m, xm_m, face_n, face_d):
 
 
 def sphere_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
-    _, _, fn2, fd2 = mesh2
+    fn2, fd2 = mesh2[2], mesh2[3]
     dist, pos, n_w = _points_vs_hull(xp1[..., None, :], s1[..., 0:1], xp2, xm2, fn2, fd2)
     # normal out of the hull = g2 -> g1; flip to point g1 -> g2
     return dist, pos, _make_frame(-n_w)
@@ -340,7 +323,7 @@ def sphere_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
 def capsule_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
     """Endpoints + the convex-minimizing segment point (ternary search on the
     piecewise-linear hull distance)."""
-    _, _, fn2, fd2 = mesh2
+    fn2, fd2 = mesh2[2], mesh2[3]
     r, hl = s1[..., 0], s1[..., 1]
     axis = xm1[..., :, 2]
 
@@ -364,50 +347,25 @@ def capsule_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
 
 
 def box_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh2):
-    """Box corners vs hull planes + hull verts vs box; deepest 8 kept."""
-    verts2, vmask2, fn2, fd2 = mesh2
-    corners = jnp.asarray(_BOX_CORNERS)
-    c1 = xp1[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm1, corners * s1[..., None, :])
-    d_a, p_a, n_a = _points_vs_hull(c1, jnp.zeros_like(c1[..., 0]), xp2, xm2, fn2, fd2)
-    n_a = -n_a  # out-of-hull -> g1-to-g2
+    """Exact SAT box-hull with a clipped contact manifold (engine.convex)."""
+    from ambersim_tpu.engine import convex
 
-    vw = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, verts2)
-    d_b, p_b, n_b = _sphere_box_raw(vw, jnp.zeros_like(vw[..., 0]), xp1[..., None, :], xm1[..., None, :, :], s1[..., None, :])
-    # n_b points vert -> box (g2 -> g1); flip
-    n_b = -n_b
-    d_b = jnp.where(jnp.asarray(vmask2), d_b, _BIG)
-
-    dist = jnp.concatenate([d_a, d_b], axis=-1)
-    pos = jnp.concatenate([p_a, p_b], axis=-2)
-    n = jnp.concatenate([n_a, n_b], axis=-2)
-    idx = jnp.argsort(dist, axis=-1)[..., :8]
-    dist = jnp.take_along_axis(dist, idx, axis=-1)
-    pos = jnp.take_along_axis(pos, idx[..., None], axis=-2)
-    n = jnp.take_along_axis(n, idx[..., None], axis=-2)
-    return dist, pos, _make_frame(n)
+    h1 = convex.box_hull(xp1, xm1, s1)
+    h2 = convex.mesh_hull(xp2, xm2, mesh2[0], mesh2[2], mesh2[4], mesh2[5])
+    dist, pos, n = convex.hull_hull(h1, h2, 4)
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
 
 
 def mesh_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh1, mesh2):
-    """Hull verts of each mesh vs the other hull's planes; deepest 8 kept."""
-    verts1, vmask1, fn1, fd1 = mesh1
-    verts2, vmask2, fn2, fd2 = mesh2
-    v2w = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, verts2)
-    d_a, p_a, n_a = _points_vs_hull(v2w, jnp.zeros_like(v2w[..., 0]), xp1, xm1, fn1, fd1)
-    d_a = jnp.where(jnp.asarray(vmask2), d_a, _BIG)  # n_a out of hull1 = g1 -> g2 ok
+    """Exact SAT hull-hull with a clipped contact manifold (engine.convex)."""
+    from ambersim_tpu.engine import convex
 
-    v1w = xp1[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm1, verts1)
-    d_b, p_b, n_b = _points_vs_hull(v1w, jnp.zeros_like(v1w[..., 0]), xp2, xm2, fn2, fd2)
-    n_b = -n_b  # out of hull2 = g2 -> g1; flip
-    d_b = jnp.where(jnp.asarray(vmask1), d_b, _BIG)
-
-    dist = jnp.concatenate([d_a, d_b], axis=-1)
-    pos = jnp.concatenate([p_a, p_b], axis=-2)
-    n = jnp.concatenate([n_a, n_b], axis=-2)
-    idx = jnp.argsort(dist, axis=-1)[..., :8]
-    dist = jnp.take_along_axis(dist, idx, axis=-1)
-    pos = jnp.take_along_axis(pos, idx[..., None], axis=-2)
-    n = jnp.take_along_axis(n, idx[..., None], axis=-2)
-    return dist, pos, _make_frame(n)
+    h1 = convex.mesh_hull(xp1, xm1, mesh1[0], mesh1[2], mesh1[4], mesh1[5])
+    h2 = convex.mesh_hull(xp2, xm2, mesh2[0], mesh2[2], mesh2[4], mesh2[5])
+    dist, pos, n = convex.hull_hull(h1, h2, 4)
+    frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
 
 
 # dispatch table keyed by (type1, type2) with type1 <= type2 (compiler orders pairs)
@@ -422,8 +380,8 @@ _NARROWPHASE = {
     (int(GeomType.PLANE), int(GeomType.MESH)): (plane_mesh, 4),
     (int(GeomType.SPHERE), int(GeomType.MESH)): (sphere_mesh, 1),
     (int(GeomType.CAPSULE), int(GeomType.MESH)): (capsule_mesh, 3),
-    (int(GeomType.BOX), int(GeomType.MESH)): (box_mesh, 8),
-    (int(GeomType.MESH), int(GeomType.MESH)): (mesh_mesh, 8),
+    (int(GeomType.BOX), int(GeomType.MESH)): (box_mesh, 4),
+    (int(GeomType.MESH), int(GeomType.MESH)): (mesh_mesh, 4),
     (int(GeomType.CAPSULE), int(GeomType.BOX)): (capsule_box, 3),
     (int(GeomType.BOX), int(GeomType.BOX)): (box_box, 8),
     (int(GeomType.PLANE), int(GeomType.CYLINDER)): (plane_cylinder, 4),
@@ -498,7 +456,14 @@ def collision(m: Model, d: Data) -> Data:
             meshids = s.geom_meshid[gs]  # static
             verts = m.mesh_vert[meshids]  # (P, V, 3)
             vert_mask = np.arange(m.mesh_vert.shape[1])[None, :] < s.mesh_vertnum[meshids][:, None]
-            return (verts, vert_mask, m.mesh_face_normal[meshids], m.mesh_face_dist[meshids])
+            return (
+                verts,
+                vert_mask,
+                m.mesh_face_normal[meshids],
+                m.mesh_face_dist[meshids],
+                m.mesh_face_vert[meshids],
+                m.mesh_edge[meshids],
+            )
 
         if tkey[0] == int(GeomType.MESH):
             args = args + (mesh_tuple(g1),)

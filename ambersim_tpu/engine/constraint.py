@@ -10,7 +10,9 @@ row-by-row (tests/test_constraint_parity.py):
   * aref = -b*(J qvel) - k*imp*(pos - margin), b = 2/(dmax*tc),
     k = 1/(dmax^2*tc^2*dr^2) for standard solref (tc, dr); direct for <=0
   * R = max(eps, (1-imp)/imp * diagApprox), D = 1/R
-  * pyramidal contact rows: J = Jn +- mu_i * Jt_i, diagApprox = 4*invweight/impratio
+  * pyramidal contact rows: J = Jn +- mu_i * Jt_i,
+    diagApprox = 2*mu0^2*(1+mu0^2)*invweight/impratio;
+    frictionless (condim=1) rows: diagApprox = invweight (no impratio)
   * limits: one row per limited joint, J=+1 near lower bound / -1 near upper
 
 Everything is fixed-shape: rows exist for every potential constraint and are
@@ -232,7 +234,15 @@ def make_constraint(m: Model, d: Data) -> Data:
         invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
         pos_c = c.dist - c.includemargin
         k, b, imp = _kbi(m, c.solref, c.solimp, pos_c)
-        diag = 4.0 * invweight / m.opt.impratio
+        # diagApprox (verified vs the C oracle's efc_R): frictionless rows use
+        # plain invweight (no impratio); pyramidal rows use
+        # 2*mu0^2*(1+mu0^2)*invweight/impratio with mu0=friction[0].
+        mu0 = c.friction[:, 0]
+        diag = jnp.where(
+            jnp.asarray(s.con_dim == 1),
+            invweight,
+            2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invweight / m.opt.impratio,
+        )
         D_c = imp / jnp.maximum((1 - imp) * diag, _MINVAL)
         active_c = c.dist < c.includemargin
 

@@ -407,13 +407,14 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
 
 def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
-    """Map xfrc_applied (torque/force at body com, world frame) to qfrc."""
+    """Map xfrc_applied (force/torque at body com, world frame; MuJoCo layout)
+    to qfrc."""
     s = m.skel
     if s.nv == 0 or s.nbody <= 1:
         return jnp.zeros(s.nv, d.qpos.dtype)
     origin = d.subtree_com[s.body_rootid]  # (nbody, 3)
-    torque = d.xfrc_applied[:, :3]
-    force = d.xfrc_applied[:, 3:]
+    force = d.xfrc_applied[:, :3]
+    torque = d.xfrc_applied[:, 3:]
     ang = torque + jnp.cross(d.xipos - origin, force)
     fspatial = jnp.concatenate([ang, force], axis=-1)  # (nbody, 6)
     supports = _body_dof_support(s)  # (nbody, nv) static

@@ -184,3 +184,66 @@ def hull_mass_properties(verts: np.ndarray, faces: np.ndarray):
     ixz = -(intg[9] - volume * com[2] * com[0])
     imat = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
     return volume, com, imat
+
+
+def hull_topology(hverts: np.ndarray, hfaces: np.ndarray):
+    """Merged polygon topology of a convex hull, for SAT narrowphase.
+
+    Qhull emits simplicial (triangle) facets; coplanar triangles are merged
+    into convex polygon faces so face normals form a minimal SAT axis set and
+    face polygons form proper contact-manifold clip regions.
+
+    Returns (face_normal (F, 3), face_dist (F,), face_polys: list of ordered
+    vertex-index rings, edges (E, 2) unique undirected vertex-index pairs).
+    """
+    n = np.cross(
+        hverts[hfaces[:, 1]] - hverts[hfaces[:, 0]], hverts[hfaces[:, 2]] - hverts[hfaces[:, 0]]
+    )
+    norms = np.linalg.norm(n, axis=1, keepdims=True)
+    keep = norms[:, 0] > 1e-12 * max(1.0, float(np.abs(hverts).max()) ** 2)
+    hfaces, n, norms = hfaces[keep], n[keep], norms[keep]
+    n = n / norms
+    d = np.einsum("fi,fi->f", n, hverts[hfaces[:, 0]])
+    scale = max(1.0, float(np.abs(hverts).max()))
+
+    groups: List[List[int]] = []
+    gkeys: List[Tuple[np.ndarray, float]] = []
+    for f in range(len(hfaces)):
+        placed = False
+        for g, (gn, gd) in enumerate(gkeys):
+            if np.dot(gn, n[f]) > 1.0 - 1e-6 and abs(gd - d[f]) < 1e-6 * scale:
+                groups[g].append(f)
+                placed = True
+                break
+        if not placed:
+            groups.append([f])
+            gkeys.append((n[f], d[f]))
+
+    face_normal, face_dist, face_polys = [], [], []
+    for g, fids in enumerate(groups):
+        gn, gd = gkeys[g]
+        vids = np.unique(hfaces[fids].ravel())
+        pts = hverts[vids]
+        center = pts.mean(axis=0)
+        # in-plane basis
+        ref = np.array([1.0, 0, 0]) if abs(gn[0]) < 0.9 else np.array([0.0, 1, 0])
+        t1 = np.cross(gn, ref)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(gn, t1)
+        ang = np.arctan2((pts - center) @ t2, (pts - center) @ t1)
+        ring = vids[np.argsort(ang)]
+        face_normal.append(gn)
+        face_dist.append(gd)
+        face_polys.append(ring)
+
+    edges = set()
+    for ring in face_polys:
+        for i in range(len(ring)):
+            a, b = int(ring[i]), int(ring[(i + 1) % len(ring)])
+            edges.add((min(a, b), max(a, b)))
+    return (
+        np.asarray(face_normal, np.float64),
+        np.asarray(face_dist, np.float64),
+        face_polys,
+        np.asarray(sorted(edges), np.int64).reshape(-1, 2),
+    )

@@ -15,26 +15,32 @@ from typing import Optional
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "src", "stepper.cpp")
-_LIB = os.path.join(os.path.dirname(__file__), "_stepper.so")
 
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> None:
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
-        check=True,
-        capture_output=True,
-    )
+def _lib_path() -> str:
+    """Artifact path keyed by source content hash: binaries are never
+    committed (gitignored) and a stale or foreign .so can never load."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(__file__), f"_stepper-{digest}.so")
 
 
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        _build()
-    lib = ctypes.CDLL(_LIB)
+    path = _lib_path()
+    if not os.path.exists(path):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", path],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(path)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int)
     lib.ambersim_create.restype = ctypes.c_int

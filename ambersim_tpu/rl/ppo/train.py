@@ -40,12 +40,9 @@ class TrainingState:
     optimizer_state: Any
     params: Dict[str, Any]
     normalizer_params: running_statistics.RunningStatisticsState
-    env_steps: jax.Array
-
-
-def _strip_info(state_info):
-    """Keys that policies may consume from env info during rollout."""
-    return {}
+    # count of completed training steps (int32-safe: env steps are derived on
+    # host as train_iters * env_step_per_training_step, so no 2.1B overflow)
+    train_iters: jax.Array
 
 
 def train(
@@ -121,7 +118,7 @@ def train(
         optimizer_state=optimizer.init(init_params),
         params=init_params,
         normalizer_params=running_statistics.init_state(jnp.zeros(obs_size)),
-        env_steps=jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32),
+        train_iters=jnp.zeros((), jnp.int32),
     )
     if restore_checkpoint_path is not None:
         from ambersim_tpu.io.checkpoint import load_params as _load
@@ -220,7 +217,7 @@ def train(
             optimizer_state=optimizer_state,
             params=params,
             normalizer_params=normalizer_params,
-            env_steps=training_state.env_steps + env_step_per_training_step,
+            train_iters=training_state.train_iters + 1,
         )
         metrics = jax.tree.map(jnp.mean, metrics)
         return (new_training_state, env_state, key), metrics
@@ -275,7 +272,7 @@ def train(
     for _ in range(num_evals_after_init):
         key, epoch_key = jax.random.split(key)
         training_state, env_state, train_metrics = training_epoch(training_state, env_state, epoch_key)
-        current_step = int(training_state.env_steps)
+        current_step = int(training_state.train_iters) * env_step_per_training_step
 
         key, key_eval = jax.random.split(key)
         episode_reward = run_evaluation(training_state, key_eval)

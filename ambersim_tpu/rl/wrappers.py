@@ -65,7 +65,9 @@ class EpisodeWrapper(Wrapper):
             return self.env.step(state, action), None
 
         state, _ = jax.lax.scan(f, state, None, length=self.action_repeat)
-        steps = state.info["steps"] + 1
+        # brax semantics: steps counts physics control steps, so episode_length
+        # means the same thing regardless of action_repeat
+        steps = state.info["steps"] + self.action_repeat
         one = jnp.ones_like(state.done)
         done = jnp.where(steps >= self.episode_length, one, state.done)
         state.info["truncation"] = jnp.where(steps >= self.episode_length, 1 - state.done, jnp.zeros(()))

@@ -255,3 +255,37 @@ def test_connect_weld_equality(name, xml):
     for _ in range(300):
         d = stp(model, d)
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-2, err_msg=f"{name} qpos")
+
+
+FRICTION_XML = """
+<mujoco><option timestep="0.002" impratio="{imp}"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1" condim="{condim}"
+        friction="{mu} 0.005 0.0001"/>
+  <body name="ball" pos="0 0 0.095"><freejoint/>
+    <geom type="sphere" size="0.1" condim="{condim}"
+          friction="{mu} 0.005 0.0001"/></body>
+</worldbody></mujoco>
+"""
+
+
+@pytest.mark.parametrize(
+    "condim,mu,imp",
+    [(1, 1.0, 1.0), (1, 1.0, 3.0), (3, 0.5, 1.0), (3, 2.5, 1.0), (3, 2.5, 3.0), (4, 2.5, 3.0)],
+)
+def test_contact_efc_R_parity(condim, mu, imp):
+    """Contact-row efc_R across condim/friction/impratio (ADVICE r1: the
+    diagApprox formula differs for frictionless and high-friction contacts)."""
+    xml = FRICTION_XML.format(condim=condim, mu=mu, imp=imp)
+    mj_model, model = _pair(xml)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qvel[0] = 0.2
+    mujoco.mj_forward(mj_model, mj_data)
+
+    d = make_data(model)
+    d = d.replace(qvel=d.qvel.at[0].set(0.2))
+    d = jax.jit(forward)(model, d)
+
+    nrow = 1 if condim == 1 else 2 * (condim - 1)
+    assert mj_data.nefc == nrow
+    np.testing.assert_allclose(1.0 / d.efc_D[:nrow], mj_data.efc_R, rtol=1e-4)
+    np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=5e-3, atol=1e-3)

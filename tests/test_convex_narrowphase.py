@@ -1,0 +1,209 @@
+"""SAT convex narrowphase parity vs the MuJoCo C engine: edge-on box-box,
+deeply interpenetrating hulls, and crossed-box manifolds (the configurations
+the round-1 face-plane approximations got wrong — VERDICT r1 #2)."""
+
+import os
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.engine import forward, make_data, step
+from ambersim_tpu.mjcf import compile_spec
+from ambersim_tpu.mjcf.mesh import convex_hull, save_obj
+from ambersim_tpu.mjcf.parser import parse_mjcf_string
+from ambersim_tpu.utils.io_utils import load_model_from_file
+
+EDGE_ON = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1"/>
+  <body pos="0 0 0.1"><freejoint/><geom type="box" size="0.15 0.15 0.1"/></body>
+  <body pos="0 0 0.337" euler="45 0 90"><freejoint/><geom type="box" size="0.1 0.1 0.1"/></body>
+</worldbody></mujoco>
+"""
+
+# two boxes crossed at 90 degrees: the contact polygon corners are pure
+# edge-edge crossings (neither box's corners lie in the overlap region)
+CROSSED = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <geom name="floor" type="plane" size="0 0 1"/>
+  <body pos="0 0 0.05"><freejoint/><geom type="box" size="0.3 0.06 0.05"/></body>
+  <body pos="0 0 0.158" euler="0 0 90"><freejoint/><geom type="box" size="0.3 0.06 0.05"/></body>
+</worldbody></mujoco>
+"""
+
+# an edge-edge crossing where the SAT minimum is a true edge-cross axis:
+# two long boxes crossed at 45 deg, the top one tilted so one edge digs in
+EDGE_AXIS = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <body pos="0 0 0.5" euler="0 45 0"><freejoint/><geom type="box" size="0.3 0.05 0.05"/></body>
+  <body pos="0 0 0.61" euler="45 0 90"><freejoint/><geom type="box" size="0.3 0.05 0.05"/></body>
+</worldbody></mujoco>
+"""
+
+
+def _pair(xml):
+    from ambersim_tpu.engine.setconst import set_constants
+
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    model = set_constants(compile_spec(parse_mjcf_string(xml)))
+    return mj_model, model
+
+
+def _active(d):
+    cd = np.asarray(d.contact.dist)
+    return cd[cd < np.asarray(d.contact.includemargin)]
+
+
+def test_box_box_edge_on_depth():
+    """45-degree edge resting on a face: depth must match the C engine."""
+    mj_model, model = _pair(EDGE_ON)
+    mj_data = mujoco.MjData(mj_model)
+    mujoco.mj_forward(mj_model, mj_data)
+    d = jax.jit(forward)(model, make_data(model))
+
+    c_depth = mj_data.contact.dist[: mj_data.ncon].min()
+    ours = _active(d)
+    assert ours.size > 0
+    np.testing.assert_allclose(ours.min(), c_depth, rtol=1e-4, atol=1e-7)
+    # total support: vertical acceleration of both boxes tracks the oracle
+    np.testing.assert_allclose(d.qacc[2], mj_data.qacc[2], rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(d.qacc[8], mj_data.qacc[8], rtol=1e-1, atol=2e-1)
+
+
+def test_box_box_edge_on_rollout():
+    mj_model, model = _pair(EDGE_ON)
+    mj_data = mujoco.MjData(mj_model)
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(300):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(300):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=3e-2)
+
+
+def test_box_box_edge_axis_normal():
+    """SAT minimum on a true edge-cross axis: normal/depth match the oracle."""
+    mj_model, model = _pair(EDGE_AXIS)
+    mj_data = mujoco.MjData(mj_model)
+    mujoco.mj_forward(mj_model, mj_data)
+    d = jax.jit(forward)(model, make_data(model))
+
+    assert mj_data.ncon >= 1
+    ci = int(np.argmin(mj_data.contact.dist[: mj_data.ncon]))
+    c_depth = mj_data.contact.dist[ci]
+    c_n = mj_data.contact.frame[ci, :3]
+    cd = np.asarray(d.contact.dist)
+    k = int(np.argmin(cd))
+    np.testing.assert_allclose(cd[k], c_depth, rtol=1e-3, atol=1e-6)
+    ours_n = np.asarray(d.contact.frame)[k, 0]
+    # geom order between engines may flip the normal; compare up to sign
+    assert min(np.linalg.norm(ours_n - c_n), np.linalg.norm(ours_n + c_n)) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(d.contact.pos)[k], mj_data.contact.pos[ci], atol=2e-3
+    )
+
+
+def test_crossed_box_stacking():
+    """90-degree crossed boxes: manifold needs edge-edge crossing points;
+    the stack must stay standing and track the oracle."""
+    mj_model, model = _pair(CROSSED)
+    mj_data = mujoco.MjData(mj_model)
+    d = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(400):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(400):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-2)
+    assert float(d.qpos[9]) > 0.14  # top box still stacked, not fallen through
+
+
+@pytest.fixture
+def hull_pair_dir(tmp_path):
+    rng = np.random.default_rng(3)
+    v1 = rng.uniform(-0.1, 0.1, (12, 3))
+    v2 = rng.uniform(-0.08, 0.08, (10, 3)) * np.array([1.6, 1.0, 1.0])
+    for name, v in (("h1", v1), ("h2", v2)):
+        hv, hf = convex_hull(v)
+        save_obj(os.path.join(tmp_path, f"{name}.obj"), hv, hf)
+    return tmp_path
+
+
+def _hull_xml(tmp_path, dz):
+    return f"""
+<mujoco><option timestep="0.002"/><compiler meshdir="{tmp_path}"/>
+<asset><mesh name="h1" file="h1.obj"/><mesh name="h2" file="h2.obj"/></asset>
+<worldbody><geom type="plane" size="0 0 1"/>
+<body pos="0 0 0.08"><freejoint/><geom type="mesh" mesh="h1" density="800"/></body>
+<body pos="0.01 0.005 {dz}" euler="10 4 30"><freejoint/><geom type="mesh" mesh="h2" density="800"/></body>
+</worldbody></mujoco>"""
+
+
+@pytest.mark.parametrize("dz", [0.14, 0.12])
+def test_hull_hull_deep_penetration(hull_pair_dir, dz):
+    """Hulls interpenetrating up to ~20% of their size: SAT depth and normal
+    must match the C engine's (libccd) to high accuracy."""
+    path = os.path.join(hull_pair_dir, "s.xml")
+    with open(path, "w") as f:
+        f.write(_hull_xml(hull_pair_dir, dz))
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    mujoco.mj_forward(mj_model, mj_data)
+    model = load_model_from_file(path)
+    d = jax.jit(forward)(model, make_data(model))
+
+    # the hull-hull contact in the C engine (exclude the plane contacts)
+    mesh_mask = np.array(
+        [mj_model.geom_type[g1] == mujoco.mjtGeom.mjGEOM_MESH
+         and mj_model.geom_type[g2] == mujoco.mjtGeom.mjGEOM_MESH
+         for g1, g2 in zip(mj_data.contact.geom1[: mj_data.ncon],
+                           mj_data.contact.geom2[: mj_data.ncon])]
+    )
+    assert mesh_mask.any()
+    ci = np.nonzero(mesh_mask)[0][int(np.argmin(mj_data.contact.dist[: mj_data.ncon][mesh_mask]))]
+    c_depth = mj_data.contact.dist[ci]
+    c_n = mj_data.contact.frame[ci, :3]
+
+    from ambersim_tpu.core.types import GeomType
+
+    s = model.skel
+    ours_mesh = (np.asarray(s.geom_type)[s.con_geom1] == int(GeomType.MESH)) & (
+        np.asarray(s.geom_type)[s.con_geom2] == int(GeomType.MESH)
+    )
+    cd = np.where(ours_mesh, np.asarray(d.contact.dist), 1e9)
+    k = int(np.argmin(cd))
+    np.testing.assert_allclose(cd[k], c_depth, rtol=1e-4, atol=1e-7)
+    ours_n = np.asarray(d.contact.frame)[k, 0]
+    assert min(np.linalg.norm(ours_n - c_n), np.linalg.norm(ours_n + c_n)) < 1e-3
+
+
+def test_hull_hull_drop_rollout(hull_pair_dir):
+    """Hull lands on hull on the floor: trajectory parity through impact."""
+    path = os.path.join(hull_pair_dir, "s.xml")
+    with open(path, "w") as f:
+        f.write(_hull_xml(hull_pair_dir, 0.24))
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+    d = make_data(model)
+    stp = jax.jit(step)
+    # strict parity through the first impact (~0.2 s); multi-impact tumbling
+    # amplifies f32-vs-f64 divergence beyond that (see verify skill notes)
+    for _ in range(100):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(100):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=3e-2)
+    # then both must settle to comparable resting heights with no pass-through
+    for _ in range(400):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(400):
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos[2], mj_data.qpos[2], atol=3e-2)
+    np.testing.assert_allclose(d.qpos[9], mj_data.qpos[9], atol=4e-2)
+    assert float(jnp.linalg.norm(d.qvel)) < 0.5  # at rest, not jittering

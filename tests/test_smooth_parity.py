@@ -201,3 +201,32 @@ def test_rollout_parity(name):
 
     np.testing.assert_allclose(d.qpos, mj_data.qpos, rtol=1e-2, atol=2e-3, err_msg=f"{name} qpos after {nsteps}")
     np.testing.assert_allclose(d.qvel, mj_data.qvel, rtol=1e-2, atol=5e-3, err_msg=f"{name} qvel after {nsteps}")
+
+
+def test_xfrc_applied_parity():
+    """External (force, torque) at body CoM — MuJoCo xfrc_applied layout
+    (ADVICE r1: ordering must be force-first)."""
+    xml = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <body name="b" pos="0 0 1"><freejoint/>
+    <geom type="box" size="0.1 0.08 0.05" pos="0.02 0 0"/></body>
+</worldbody></mujoco>
+"""
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    mj_model.opt.disableflags |= (
+        mujoco.mjtDisableBit.mjDSBL_CONTACT | mujoco.mjtDisableBit.mjDSBL_CONSTRAINT
+    )
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.xfrc_applied[1] = [1.5, -0.7, 9.0, 0.2, 0.4, -0.3]  # force, torque
+    mujoco.mj_forward(mj_model, mj_data)
+
+    from ambersim_tpu.engine.setconst import set_constants
+
+    model = set_constants(compile_spec(parse_mjcf_string(xml)))
+    model = model.replace(opt=model.opt.replace(disableflags=int(DisableBit.CONSTRAINT)))
+    d = make_data(model)
+    d = d.replace(
+        xfrc_applied=d.xfrc_applied.at[1].set(jnp.array([1.5, -0.7, 9.0, 0.2, 0.4, -0.3]))
+    )
+    d = jax.jit(forward)(model, d)
+    np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=1e-4, atol=1e-4)

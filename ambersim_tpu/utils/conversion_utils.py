@@ -44,25 +44,51 @@ def save_model_xml(filepath: Union[str, Path], output_name: Optional[str] = None
 def convex_decomposition_file(
     meshfile: Union[str, Path],
     max_convex_hull: int = 16,
+    threshold: float = 0.1,
     quiet: bool = True,
     savedir: Optional[Union[str, Path]] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decompose a mesh file into convex parts (reference:
-    conversion_utils.py:40-81, defaults max_convex_hull=16).
+    conversion_utils.py:40-81, defaults max_convex_hull=16, threshold=0.1).
+
+    Connected components are decomposed independently; a component whose
+    convex hull already matches its solid volume within `threshold` is
+    emitted as one hull, otherwise it runs the approximate convex
+    decomposition (mjcf/decompose.py, the CoACD role).
 
     Returns a list of (vertices, faces) convex parts; if `savedir` is given,
     parts are saved as `<name>_col_<i>.obj` alongside (reference naming
     convention at conversion_utils.py:77-81)."""
+    from ambersim_tpu.mjcf.decompose import approximate_convex_decomposition, mesh_volume
+
     path = _check_filepath(meshfile)
     verts, faces = load_obj(path)
     groups = connected_components(verts, faces)
 
     parts: List[Tuple[np.ndarray, np.ndarray]] = []
-    for g in groups[:max_convex_hull]:
+    budget = max_convex_hull
+    for gi, g in enumerate(groups):
+        if budget <= 0:
+            break
         sub_faces = faces[g]
         used = np.unique(sub_faces)
+        remap = np.zeros(len(verts), dtype=np.int64)
+        remap[used] = np.arange(len(used))
         sub_verts = verts[used]
-        parts.append(convex_hull(sub_verts))
+        sub_faces = remap[sub_faces]
+        hv, hf = convex_hull(sub_verts)
+        vol = mesh_volume(sub_verts, sub_faces)
+        hull_vol = mesh_volume(hv, hf)
+        # reserve one hull for each remaining component
+        comp_budget = max(1, budget - (len(groups) - gi - 1))
+        if hull_vol > 0 and (hull_vol - vol) / hull_vol > threshold and comp_budget > 1:
+            comp_parts = approximate_convex_decomposition(
+                sub_verts, sub_faces, threshold=threshold, max_convex_hull=comp_budget
+            )
+        else:
+            comp_parts = [(hv, hf)]
+        parts.extend(comp_parts)
+        budget -= len(comp_parts)
     if len(groups) > max_convex_hull and not quiet:
         print(f"warning: {len(groups)} components, keeping first {max_convex_hull}")
 

@@ -1,27 +1,27 @@
-"""Convex decomposition of mesh files (reference: examples/convex_decomposition.py)."""
+"""Convex decomposition of mesh files (reference: examples/convex_decomposition.py).
+
+Decomposes the packaged mesh-hand assets — real concave robot link meshes —
+into convex collision parts, the same pipeline that produced the committed
+`*_col_*.obj` files consumed by models/hand/hand_mesh.xml (the role CoACD
+plays for the reference's Barrett hand: ambersim/models/barrett_hand/bh280.xml:4-54).
+"""
 
 import os
 import tempfile
 
-import numpy as np
-
-from ambersim_tpu.mjcf.mesh import save_obj
+from ambersim_tpu import ROOT
 from ambersim_tpu.utils.conversion_utils import convex_decomposition_dir, convex_decomposition_file
 
 if __name__ == "__main__":
-    tmp = tempfile.mkdtemp()
-    # build a demo multi-component mesh
-    tet = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
-    verts = np.concatenate([tet, tet + np.array([3.0, 0, 0]), tet + np.array([0.0, 3, 0])])
-    faces = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]])
-    faces = np.concatenate([faces, faces + 4, faces + 8])
-    meshfile = os.path.join(tmp, "demo.obj")
-    save_obj(meshfile, verts, faces)
+    out = tempfile.mkdtemp()
+    meshdir = os.path.join(ROOT, "models", "hand", "meshes")
 
-    parts = convex_decomposition_file(meshfile, max_convex_hull=16, savedir=tmp)
-    print(f"decomposed into {len(parts)} convex parts:")
+    # single file: the concave U-channel palm
+    parts = convex_decomposition_file(os.path.join(meshdir, "palm.obj"), threshold=0.1, savedir=out)
+    print(f"palm.obj decomposed into {len(parts)} convex parts:")
     for i, (pv, pf) in enumerate(parts):
-        print(f"  part {i}: {len(pv)} verts, {len(pf)} faces -> {tmp}/demo_col_{i}.obj")
+        print(f"  part {i}: {len(pv)} verts, {len(pf)} faces -> {out}/palm_col_{i}.obj")
 
-    convex_decomposition_dir(tmp, recursive=True, savedir=tmp)
-    print("directory pass complete")
+    # whole directory (skips existing *_col_* outputs)
+    convex_decomposition_dir(meshdir, recursive=True, savedir=out)
+    print(f"directory pass complete -> {out}")

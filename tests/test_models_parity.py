@@ -160,3 +160,62 @@ def test_hand_predictive_sampling_smoke():
     )
     xs, us = jax.jit(ps.optimize)(params)
     assert xs.shape == (11, nx) and np.isfinite(np.asarray(xs)).all()
+
+
+def test_mesh_hand_grasp_parity():
+    """Mesh-collision hand (convex-decomposed parts, VERDICT r1 #4): fingers
+    close around a free mesh object; rollout parity vs the C engine through
+    sustained mesh-mesh contact, mimic ratio held."""
+    path = f"{ROOT}/models/hand/grasp_scene.xml"
+    mj_model = mujoco.MjModel.from_xml_path(path)
+    mj_data = mujoco.MjData(mj_model)
+    model = load_model_from_file(path)
+    assert model.njnt == 9 and model.nu == 4 and model.neq == 4
+    assert model.skel.nmesh == 7  # 6 decomposed hand parts + object
+
+    ctrl = np.array([0.0, 1.2, 1.2, 1.2])
+    mj_data.ctrl[:] = ctrl
+    d = make_data(model).replace(ctrl=jnp.asarray(ctrl))
+    stp = jax.jit(step)
+    for _ in range(300):
+        mujoco.mj_step(mj_model, mj_data)
+    for _ in range(300):
+        d = stp(model, d)
+    q = np.asarray(d.qpos)
+    np.testing.assert_allclose(q[:8], mj_data.qpos[:8], atol=2e-2)  # hand joints
+    np.testing.assert_allclose(q[8:11], mj_data.qpos[8:11], atol=2e-2)  # object pos
+    # object held in the palm channel, not expelled
+    assert 0.08 < float(q[10]) < 0.15
+    # the soft mimic deviates from 0.344 under grasp load — but it must
+    # deviate the same way the C oracle does
+    names = list(model.skel.jnt_names)
+    jid = lambda n: names.index(n)  # noqa: E731
+    ratio = q[jid("f1_dist")] / q[jid("f1_prox")]
+    ratio_c = mj_data.qpos[jid("f1_dist")] / mj_data.qpos[jid("f1_prox")]
+    np.testing.assert_allclose(ratio, ratio_c, atol=5e-3)
+
+
+def test_mesh_hand_predictive_sampling_smoke():
+    """Predictive sampling on the mesh hand WITH mesh contacts enabled —
+    the reference smoke test runs the Barrett hand with contacts disabled;
+    the SAT narrowphase lets us keep them on."""
+    from ambersim_tpu.trajopt import (
+        StaticGoalQuadraticCost,
+        VanillaPredictiveSampler,
+        VanillaPredictiveSamplerParams,
+    )
+
+    model = load_model_from_file(
+        f"{ROOT}/models/hand/hand_mesh.xml", solver="newton", iterations=1, ls_iterations=4
+    )
+    nx = model.nq + model.nv
+    cost = StaticGoalQuadraticCost(
+        Q=0.1 * jnp.eye(nx), Qf=10.0 * jnp.eye(nx), R=0.001 * jnp.eye(model.nu),
+        xg=jnp.zeros(nx).at[1].set(1.0),
+    )
+    ps = VanillaPredictiveSampler(model=model, cost_function=cost, nsamples=8, stdev=0.2)
+    params = VanillaPredictiveSamplerParams(
+        x0=jnp.zeros(nx), us_guess=jnp.zeros((8, model.nu)), rng=jax.random.PRNGKey(0)
+    )
+    xs, us = jax.jit(ps.optimize)(params)
+    assert xs.shape == (9, nx) and np.isfinite(np.asarray(xs)).all()

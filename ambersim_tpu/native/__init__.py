@@ -3,6 +3,12 @@
 `HostStepper` is the C++ reference stepper — the role MuJoCo's C engine plays
 for the reference repo (interactive host simulation + an independent parity
 oracle; SURVEY.md D2). Built on demand with g++; no pybind11 required.
+
+Scope (stepper.cpp): trees of free/hinge/slide joints (one joint per moving
+body; jointless bodies are welded in here), joint limits, and plane-vs-
+sphere/box contacts with MuJoCo's soft constraint model, solved by the same
+primal Newton iteration as the JAX engine — so free-base contact scenes can
+be cross-checked against both the JAX engine and MuJoCo C.
 """
 
 from __future__ import annotations
@@ -43,15 +49,15 @@ def _load() -> ctypes.CDLL:
     lib = ctypes.CDLL(path)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int)
-    lib.ambersim_create.restype = ctypes.c_int
-    lib.ambersim_create.argtypes = (
-        [ctypes.c_int, ctypes.c_int, ctypes.c_double]
-        + [dp, ip]
-        + [dp] * 6  # body_pos, body_quat, body_ipos, body_iquat, mass, inertia
-        + [ip]  # jnt_type
-        + [dp] * 7  # jnt_pos, jnt_axis, stiffness, springref, damping, armature, qpos0
-        + [ip]  # act_joint
-        + [dp] * 2  # gear, ctrlrange
+    lib.ambersim_create2.restype = ctypes.c_int
+    lib.ambersim_create2.argtypes = (
+        [ctypes.c_int] * 7
+        + [dp, ip, dp]  # opt, parent, body_real
+        + [ip, dp]  # jnt_int, jnt_real
+        + [dp, dp]  # dof_real, qpos0
+        + [ip, dp]  # geom_int, geom_real
+        + [ip, dp]  # pair_int, pair_real
+        + [ip, dp]  # act_int, act_real
     )
     lib.ambersim_set_state.argtypes = [dp, dp]
     lib.ambersim_set_ctrl.argtypes = [dp]
@@ -71,16 +77,20 @@ def _ip(a: np.ndarray):
 
 from ambersim_tpu.mjcf.parser import _np_mul_quat, _np_quat_to_mat  # noqa: E402
 
+_SUPPORTED_JNT = (0, 2, 3)  # free, slide, hinge
+_PLANE, _SPHERE, _BOX = 0, 2, 6
+
 
 class _ChainModel:
-    """Host-side reduction of a Model to a 1-dof-joint-per-body chain:
+    """Host-side reduction of a Model to a one-joint-per-body tree:
     jointless bodies are welded into their parents (mass properties combined
-    via parallel-axis), matching the dynamics exactly."""
+    via parallel-axis, geoms re-expressed in the parent frame), matching the
+    dynamics exactly."""
 
     def __init__(self, model):
         s = model.skel
-        if any(int(t) not in (2, 3) for t in s.jnt_type):
-            raise NotImplementedError("HostStepper supports hinge/slide joints only")
+        if any(int(t) not in _SUPPORTED_JNT for t in s.jnt_type):
+            raise NotImplementedError("HostStepper supports free/hinge/slide joints only")
         for b in range(1, s.nbody):
             if int(s.body_jntnum[b]) > 1:
                 raise NotImplementedError("HostStepper requires at most one joint per body")
@@ -97,6 +107,10 @@ class _ChainModel:
             int(s.body_jntadr[b]) if int(s.body_jntnum[b]) == 1 else -1 for b in range(s.nbody)
         ]
         alive = [True] * s.nbody
+        # geoms ride along through welds
+        geom_body = list(s.geom_bodyid)
+        geom_pos = [f64(model.geom_pos[g]) for g in range(s.ngeom)]
+        geom_quat = [f64(model.geom_quat[g]) for g in range(s.ngeom)]
 
         def inertia_mat(b):
             r = _np_quat_to_mat(iquat[b])
@@ -108,7 +122,6 @@ class _ChainModel:
                 continue
             p = parent[b]
             rp = _np_quat_to_mat(quat[b])
-            # child com and inertia in parent frame
             com_c = pos[b] + rp @ ipos[b]
             inr_c = rp @ inertia_mat(b) @ rp.T
             m_c, m_p = mass[b], mass[p]
@@ -129,7 +142,6 @@ class _ChainModel:
             mass[p] = m_new
             ipos[p] = com_new
             idiag[p] = w
-            # iquat from rotation matrix
             from ambersim_tpu.mjcf.parser import _np_mat_to_quat
 
             iquat[p] = _np_mat_to_quat(v)
@@ -139,6 +151,12 @@ class _ChainModel:
                     pos[c] = pos[b] + rp @ pos[c]
                     quat[c] = _np_mul_quat(quat[b], quat[c])
                     parent[c] = p
+            # geoms of b move to p, re-expressed in p's frame
+            for g in range(s.ngeom):
+                if geom_body[g] == b:
+                    geom_pos[g] = pos[b] + rp @ geom_pos[g]
+                    geom_quat[g] = _np_mul_quat(quat[b], geom_quat[g])
+                    geom_body[g] = p
             alive[b] = False
 
         # reindex surviving bodies
@@ -161,14 +179,18 @@ class _ChainModel:
         # joint j of reduced body i must be joint i-1 in reduced ordering
         self.jnt_ids = [j for j in self.jnt[1:]]
         self.nbody = len(self.parent)
+        self.geom_body = [newid[b] for b in geom_body]
+        self.geom_pos = geom_pos
+        self.geom_quat = geom_quat
 
 
 class HostStepper:
-    """C++ smooth-dynamics stepper for hinge/slide kinematic chains.
+    """C++ full-pipeline stepper for free/hinge/slide trees with plane
+    contacts and joint limits.
 
-    Built from an ambersim_tpu Model; jointless bodies are welded into their
-    parents first, so pendulum/cartpole/arm class models (with static base or
-    tip bodies) work directly."""
+    Built from an ambersim_tpu Model; set_state/get_state use the *original*
+    model's qpos/qvel layout, so results compare directly against the JAX
+    engine and MuJoCo C."""
 
     def __init__(self, model):
         s = model.skel
@@ -176,58 +198,169 @@ class HostStepper:
         lib = _load()
         f64 = lambda x: np.asarray(x, dtype=np.float64)  # noqa: E731
 
-        jids = chain.jnt_ids  # original joint id per reduced dof
-        nv = len(jids)
-        jnt_type = np.asarray([int(s.jnt_type[j]) for j in jids], np.int32)
-        jnt_pos = np.stack([f64(model.jnt_pos[j]) for j in jids]) if nv else np.zeros((0, 3))
-        jnt_axis = np.stack([f64(model.jnt_axis[j]) for j in jids]) if nv else np.zeros((0, 3))
-        jnt_stiffness = np.asarray([float(model.jnt_stiffness[j]) for j in jids])
-        jnt_springref = np.asarray([float(model.qpos_spring[int(s.jnt_qposadr[j])]) for j in jids])
-        damping = np.asarray([float(model.dof_damping[int(s.jnt_dofadr[j])]) for j in jids])
-        armature = np.asarray([float(model.dof_armature[int(s.jnt_dofadr[j])]) for j in jids])
-        qpos0 = np.asarray([float(model.qpos0[int(s.jnt_qposadr[j])]) for j in jids])
-        self._dof_of_jnt = {j: i for i, j in enumerate(jids)}
+        jids = chain.jnt_ids  # original joint id per reduced joint
+        njnt = len(jids)
+        widths = [(7, 6) if int(s.jnt_type[j]) == 0 else (1, 1) for j in jids]
+        qposadr, dofadr = [], []
+        nq = nv = 0
+        for wq, wv in widths:
+            qposadr.append(nq)
+            dofadr.append(nv)
+            nq += wq
+            nv += wv
+        self.nq, self.nv = nq, nv
 
-        act_joint = np.asarray(
-            [self._dof_of_jnt[int(s.actuator_trnid[u])] for u in range(s.nu)], np.int32
-        )
-        gear = f64(model.actuator_gear[:, 0]) if s.nu else np.zeros(0)
-        ctrlrange = np.zeros((s.nu, 2))
-        for u in range(s.nu):
-            if bool(s.actuator_ctrllimited[u]):
-                ctrlrange[u] = np.asarray(model.actuator_ctrlrange[u])
+        # original-layout <-> reduced-layout index maps
+        self._q_src = np.concatenate(
+            [np.arange(int(s.jnt_qposadr[j]), int(s.jnt_qposadr[j]) + wq) for j, (wq, _) in zip(jids, widths)]
+        ).astype(np.int64) if njnt else np.zeros(0, np.int64)
+        self._v_src = np.concatenate(
+            [np.arange(int(s.jnt_dofadr[j]), int(s.jnt_dofadr[j]) + wv) for j, (_, wv) in zip(jids, widths)]
+        ).astype(np.int64) if njnt else np.zeros(0, np.int64)
+        self.nq_orig = int(s.nq)
+        self.nv_orig = int(s.nv)
+
+        jnt_int = np.zeros((njnt, 4), np.int32)
+        jnt_real = np.zeros((njnt, 18))
+        dof_real = np.zeros((nv, 3))
+        qpos0 = np.zeros(nq)
+        for r, j in enumerate(jids):
+            jt = int(s.jnt_type[j])
+            jnt_int[r] = (jt, qposadr[r], dofadr[r], int(s.jnt_limited[j]) if jt != 0 else 0)
+            jnt_real[r, 0:3] = f64(model.jnt_pos[j])
+            jnt_real[r, 3:6] = f64(model.jnt_axis[j])
+            if jt != 0:
+                jnt_real[r, 6] = float(model.jnt_stiffness[j])
+                jnt_real[r, 7] = float(model.qpos_spring[int(s.jnt_qposadr[j])])
+                jnt_real[r, 8:10] = f64(model.jnt_range[j])
+            jnt_real[r, 10] = float(model.jnt_margin[j])
+            jnt_real[r, 11:13] = f64(model.jnt_solref[j])
+            jnt_real[r, 13:18] = f64(model.jnt_solimp[j])
+            wv = widths[r][1]
+            src = int(s.jnt_dofadr[j])
+            for k in range(wv):
+                dof_real[dofadr[r] + k, 0] = float(model.dof_damping[src + k])
+                dof_real[dofadr[r] + k, 1] = float(model.dof_armature[src + k])
+                dof_real[dofadr[r] + k, 2] = float(model.dof_invweight0[src + k])
+            wq = widths[r][0]
+            qpos0[qposadr[r] : qposadr[r] + wq] = np.asarray(model.qpos0)[
+                int(s.jnt_qposadr[j]) : int(s.jnt_qposadr[j]) + wq
+            ]
+
+        # geoms (reduced body ids, weld-composed transforms)
+        geom_int = np.zeros((s.ngeom, 2), np.int32)
+        geom_real = np.zeros((s.ngeom, 10))
+        for g in range(s.ngeom):
+            geom_int[g] = (int(s.geom_type[g]), chain.geom_body[g])
+            geom_real[g, 0:3] = chain.geom_pos[g]
+            geom_real[g, 3:7] = chain.geom_quat[g]
+            geom_real[g, 7:10] = f64(model.geom_size[g])
+
+        # contact pairs: plane vs sphere/box from the compiled candidate list
+        from ambersim_tpu.engine.collision import _mix_params
+
+        pair_rows_int, pair_rows_real = [], []
+        for p in range(s.npair):
+            g1, g2 = int(s.pair_geom1[p]), int(s.pair_geom2[p])
+            t1, t2 = int(s.geom_type[g1]), int(s.geom_type[g2])
+            if t1 != _PLANE or t2 not in (_SPHERE, _BOX):
+                raise NotImplementedError(
+                    f"HostStepper contact support is plane-vs-sphere/box; model has a "
+                    f"type-({t1},{t2}) pair"
+                )
+            exp = int(s.pair_explicit[p])
+            if exp >= 0:
+                friction = np.asarray(model.pair_friction[exp], np.float64)
+                solref = np.asarray(model.pair_solref[exp], np.float64)
+                solimp = np.asarray(model.pair_solimp[exp], np.float64)
+                margin = float(model.pair_margin[exp])
+                gap = float(model.pair_gap[exp])
             else:
-                ctrlrange[u] = (1.0, -1.0)  # lo > hi disables clamping
-
-        self.nv = lib.ambersim_create(
-            int(chain.nbody),
-            int(s.nu),
-            float(model.opt.timestep),
-            _dp(f64(model.opt.gravity)),
-            _ip(np.asarray(chain.parent, np.int32)),
-            _dp(np.stack(chain.pos)),
-            _dp(np.stack(chain.quat)),
-            _dp(np.stack(chain.ipos)),
-            _dp(np.stack(chain.iquat)),
-            _dp(np.asarray(chain.mass)),
-            _dp(np.stack(chain.idiag)),
-            _ip(jnt_type),
-            _dp(jnt_pos),
-            _dp(jnt_axis),
-            _dp(jnt_stiffness),
-            _dp(jnt_springref),
-            _dp(damping),
-            _dp(armature),
-            _dp(qpos0),
-            _ip(act_joint),
-            _dp(gear),
-            _dp(ctrlrange),
+                fr, srf, sim, mg, gp = _mix_params(model, np.array([g1]), np.array([g2]))
+                friction = np.asarray(fr[0], np.float64)
+                solref = np.asarray(srf[0], np.float64)
+                solimp = np.asarray(sim[0], np.float64)
+                margin = float(mg[0])
+                gap = float(gp[0])
+            b1, b2 = int(s.geom_bodyid[g1]), int(s.geom_bodyid[g2])
+            invweight = float(model.body_invweight0[b1, 0]) + float(model.body_invweight0[b2, 0])
+            pair_rows_int.append((g1, g2, int(s.pair_condim[p])))
+            pair_rows_real.append(
+                np.concatenate([friction, solref, solimp, [margin - gap, invweight]])
+            )
+        npair = len(pair_rows_int)
+        pair_int = np.asarray(pair_rows_int, np.int32).reshape(npair, 3)
+        pair_real = (
+            np.stack(pair_rows_real) if npair else np.zeros((0, 14))
         )
+
+        dof_of_jnt = {j: dofadr[r] for r, j in enumerate(jids)}
+        act_int = np.asarray(
+            [dof_of_jnt[int(s.actuator_trnid[u])] for u in range(s.nu)], np.int32
+        )
+        act_real = np.zeros((s.nu, 3))
+        for u in range(s.nu):
+            act_real[u, 0] = float(model.actuator_gear[u, 0])
+            if bool(s.actuator_ctrllimited[u]):
+                act_real[u, 1:3] = np.asarray(model.actuator_ctrlrange[u])
+            else:
+                act_real[u, 1:3] = (1.0, -1.0)  # lo > hi disables clamping
+
+        opt = np.array(
+            [
+                float(model.opt.timestep),
+                *[float(x) for x in np.asarray(model.opt.gravity)],
+                float(model.opt.impratio),
+                float(model.opt.tolerance),
+                float(int(model.opt.iterations)),
+                float(int(model.opt.ls_iterations)),
+                float(np.sum(np.asarray(model.body_mass))),
+            ]
+        )
+
+        got_nv = lib.ambersim_create2(
+            int(chain.nbody),
+            int(njnt),
+            int(nq),
+            int(nv),
+            int(s.nu),
+            int(s.ngeom),
+            int(npair),
+            _dp(opt),
+            _ip(np.asarray(chain.parent, np.int32)),
+            _dp(
+                np.concatenate(
+                    [
+                        np.stack(chain.pos),
+                        np.stack(chain.quat),
+                        np.stack(chain.ipos),
+                        np.stack(chain.iquat),
+                        np.asarray(chain.mass)[:, None],
+                        np.stack(chain.idiag),
+                    ],
+                    axis=1,
+                )
+            ),
+            _ip(jnt_int),
+            _dp(jnt_real),
+            _dp(dof_real),
+            _dp(qpos0),
+            _ip(geom_int),
+            _dp(geom_real),
+            _ip(pair_int),
+            _dp(pair_real),
+            _ip(act_int),
+            _dp(act_real),
+        )
+        assert got_nv == nv
         self._lib = lib
         self.nu = int(s.nu)
 
     def set_state(self, qpos: np.ndarray, qvel: np.ndarray) -> None:
-        self._lib.ambersim_set_state(_dp(np.asarray(qpos)), _dp(np.asarray(qvel)))
+        """qpos/qvel in the ORIGINAL model layout."""
+        q = np.asarray(qpos, np.float64)[self._q_src]
+        v = np.asarray(qvel, np.float64)[self._v_src]
+        self._lib.ambersim_set_state(_dp(q), _dp(v))
 
     def set_ctrl(self, ctrl: np.ndarray) -> None:
         self._lib.ambersim_set_ctrl(_dp(np.asarray(ctrl)))
@@ -236,7 +369,12 @@ class HostStepper:
         self._lib.ambersim_step(int(nsteps))
 
     def get_state(self):
-        qpos = np.zeros(self.nv)
-        qvel = np.zeros(self.nv)
-        self._lib.ambersim_get_state(_dp(qpos), _dp(qvel))
+        """Returns (qpos, qvel) in the ORIGINAL model layout."""
+        q = np.zeros(self.nq)
+        v = np.zeros(self.nv)
+        self._lib.ambersim_get_state(_dp(q), _dp(v))
+        qpos = np.zeros(self.nq_orig)
+        qvel = np.zeros(self.nv_orig)
+        qpos[self._q_src] = q
+        qvel[self._v_src] = v
         return qpos, qvel

@@ -1,21 +1,31 @@
 // Host-side C++ reference stepper: an independent implementation of the
-// smooth-dynamics pipeline (FK -> CRBA -> RNEA -> actuation/passive ->
-// implicit-damping semi-implicit Euler) for hinge/slide kinematic chains.
+// full pipeline (FK -> CRBA -> RNEA -> actuation/passive -> plane contacts
+// + joint limits -> Newton constraint solve -> implicit-damping Euler) for
+// kinematic trees of free/hinge/slide joints.
 //
 // Role: the parity oracle / interactive host stepper that MuJoCo's C engine
 // plays for the reference (reference: examples/interactive_simulation.py:57-71,
 // SURVEY.md D2). Exposed through a C ABI consumed via ctypes
 // (ambersim_tpu/native/__init__.py).
 //
-// Scope: 1-dof joints (hinge/slide), joint springs/dampers/armature, motor
-// actuators with ctrlrange clamping. Contacts are the JAX engine's job; this
-// oracle covers the smooth path where exact agreement is expected.
+// Scope: one joint per moving body (free/hinge/slide; jointless bodies are
+// welded in by the Python wrapper), joint springs/dampers/armature, motor
+// actuators with ctrlrange clamping, hinge/slide limits, and plane-vs-
+// sphere/box contacts with MuJoCo's soft-constraint model (impedance
+// sigmoid + pyramidal friction cones), solved by the same primal Newton
+// iteration as the JAX engine (engine/solver.py) so all three engines can
+// be cross-checked on free-base contact scenes.
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <vector>
 
 namespace {
+
+constexpr double kMinVal = 1e-10;
+constexpr double kMinImp = 0.0001;
+constexpr double kMaxImp = 0.9999;
 
 struct Vec3 {
   double x = 0, y = 0, z = 0;
@@ -40,6 +50,12 @@ inline Quat mul(Quat u, Quat v) {
           u.w * v.z + u.x * v.y - u.y * v.x + u.z * v.w};
 }
 
+inline Quat normalize(Quat q) {
+  double n = std::sqrt(q.w * q.w + q.x * q.x + q.y * q.y + q.z * q.z);
+  if (n < 1e-15) return {1, 0, 0, 0};
+  return {q.w / n, q.x / n, q.y / n, q.z / n};
+}
+
 inline Vec3 rotate(Vec3 v, Quat q) {
   Vec3 u{q.x, q.y, q.z};
   Vec3 c = cross(u, v);
@@ -51,6 +67,13 @@ inline Quat axis_angle(Vec3 axis, double angle) {
   double h = 0.5 * angle;
   double s = std::sin(h);
   return {std::cos(h), axis.x * s, axis.y * s, axis.z * s};
+}
+
+inline void quat_to_mat(Quat q, double R[9]) {
+  double w = q.w, x = q.x, y = q.y, z = q.z;
+  R[0] = 1 - 2 * (y * y + z * z); R[1] = 2 * (x * y - w * z); R[2] = 2 * (x * z + w * y);
+  R[3] = 2 * (x * y + w * z); R[4] = 1 - 2 * (x * x + z * z); R[5] = 2 * (y * z - w * x);
+  R[6] = 2 * (x * z - w * y); R[7] = 2 * (y * z + w * x); R[8] = 1 - 2 * (x * x + y * y);
 }
 
 struct Spatial {  // (angular, linear)
@@ -67,39 +90,68 @@ inline Spatial crf(Spatial v, Spatial f) {
   return {cross(v.ang, f.ang) + cross(v.lin, f.lin), cross(v.ang, f.lin)};
 }
 
+enum JntType { JNT_FREE = 0, JNT_BALL = 1, JNT_SLIDE = 2, JNT_HINGE = 3 };
+enum GeomKind { GEOM_PLANE = 0, GEOM_SPHERE = 2, GEOM_BOX = 6 };
+
 struct Model {
-  int nbody = 0, njnt = 0, nv = 0, nu = 0;
-  double timestep = 0.002;
+  int nbody = 0, njnt = 0, nq = 0, nv = 0, nu = 0, ngeom = 0, npair = 0;
+  double timestep = 0.002, impratio = 1.0, tolerance = 1e-8;
+  int iterations = 100, ls_iterations = 50;
+  double total_mass = 0.0;
   Vec3 gravity{0, 0, -9.81};
-  std::vector<int> parent;        // nbody
-  std::vector<Vec3> body_pos;     // nbody
-  std::vector<Quat> body_quat;    // nbody
-  std::vector<Vec3> body_ipos;    // nbody
-  std::vector<double> mass;       // nbody
-  std::vector<Vec3> inertia;      // nbody (diagonal, inertial frame == body frame assumed diag)
-  std::vector<Quat> body_iquat;   // nbody
-  std::vector<int> jnt_body;      // njnt (one 1-dof joint per moving body)
-  std::vector<int> jnt_type;      // njnt: 2=slide, 3=hinge
-  std::vector<Vec3> jnt_pos;      // njnt
-  std::vector<Vec3> jnt_axis;     // njnt
-  std::vector<double> stiffness, springref, damping, armature, qpos0;
-  std::vector<int> act_joint;     // nu
-  std::vector<double> gear, ctrl_lo, ctrl_hi;  // nu
+  // bodies
+  std::vector<int> parent;
+  std::vector<Vec3> body_pos, body_ipos;
+  std::vector<Quat> body_quat, body_iquat;
+  std::vector<double> mass;
+  std::vector<Vec3> inertia;  // diagonal in inertial frame
+  // joints (joint j belongs to body j+1)
+  std::vector<int> jnt_type, jnt_qposadr, jnt_dofadr;
+  std::vector<Vec3> jnt_pos, jnt_axis;
+  std::vector<double> jnt_stiffness, jnt_springref;
+  std::vector<int> jnt_limited;
+  std::vector<double> jnt_lo, jnt_hi, jnt_margin;
+  std::vector<double> jnt_solref, jnt_solimp;  // njnt*2, njnt*5
+  // dofs
+  std::vector<int> dof_body, dof_jnt;
+  std::vector<double> damping, armature, dof_invweight0;
+  std::vector<double> qpos0;
+  // geoms
+  std::vector<int> geom_type, geom_body;
+  std::vector<Vec3> geom_pos;
+  std::vector<Quat> geom_quat;
+  std::vector<Vec3> geom_size;
+  // contact pairs (geom1 = plane)
+  std::vector<int> pair_g1, pair_g2, pair_condim;
+  std::vector<double> pair_friction;  // npair*5
+  std::vector<double> pair_solref;    // npair*2
+  std::vector<double> pair_solimp;    // npair*5
+  std::vector<double> pair_margin, pair_invweight;
+  // actuators
+  std::vector<int> act_dof;
+  std::vector<double> gear, ctrl_lo, ctrl_hi;
+};
+
+struct EfcRow {
+  std::vector<double> J;  // nv
+  double D = 0, aref = 0, pos = 0;
+  bool active = false;
 };
 
 struct Data {
-  std::vector<double> qpos, qvel, ctrl;
-  // workspace
-  std::vector<Vec3> xpos, xipos, xanchor, xaxis;
+  std::vector<double> qpos, qvel, ctrl, qacc_warmstart;
+  std::vector<Vec3> xpos, xipos, xanchor, xaxis, gxpos;
   std::vector<Quat> xquat;
+  std::vector<double> gxmat;  // ngeom*9
   std::vector<Spatial> cdof, cvel, cdofdot;
-  std::vector<double> M;  // nv*nv
-  std::vector<double> qfrc;
+  std::vector<double> M;
+  std::vector<EfcRow> efc;
 };
 
-void factor_solve(int n, std::vector<double>& A, std::vector<double>& b) {
-  // Cholesky solve of SPD A x = b (in place on b)
-  std::vector<double> L(n * n, 0.0);
+// ---------- dense linear algebra ----------
+
+bool cholesky(int n, const std::vector<double>& A, std::vector<double>& L) {
+  L.assign(n * n, 0.0);
   for (int j = 0; j < n; ++j) {
     double d = A[j * n + j];
     for (int k = 0; k < j; ++k) d -= L[j * n + k] * L[j * n + k];
@@ -111,6 +163,10 @@ void factor_solve(int n, std::vector<double>& A, std::vector<double>& b) {
       L[i * n + j] = v / d;
     }
   }
+  return true;
+}
+
+void cho_solve(int n, const std::vector<double>& L, std::vector<double>& b) {
   for (int i = 0; i < n; ++i) {
     double v = b[i];
     for (int k = 0; k < i; ++k) v -= L[i * n + k] * b[k];
@@ -123,9 +179,46 @@ void factor_solve(int n, std::vector<double>& A, std::vector<double>& b) {
   }
 }
 
-void step(const Model& m, Data& d) {
-  int nb = m.nbody, nv = m.nv;
-  // ---- FK ----
+void factor_solve(int n, std::vector<double> A, std::vector<double>& b) {
+  std::vector<double> L;
+  cholesky(n, A, L);
+  cho_solve(n, L, b);
+}
+
+// ---------- constraint helpers (mirror engine/constraint.py) ----------
+
+double impedance(const double* solimp, double pos) {
+  double d0 = solimp[0], dmax = solimp[1], width = solimp[2], mid = solimp[3], power = solimp[4];
+  double x = std::min(std::max(std::abs(pos) / std::max(width, kMinVal), 0.0), 1.0);
+  mid = std::min(std::max(mid, kMinImp), kMaxImp);
+  power = std::max(power, 1.0);
+  double a = 1.0 / std::pow(mid, power - 1.0);
+  double b = 1.0 / std::pow(1.0 - mid, power - 1.0);
+  double y = x < mid ? a * std::pow(x, power) : 1.0 - b * std::pow(1.0 - x, power);
+  return std::min(std::max(d0 + y * (dmax - d0), kMinImp), kMaxImp);
+}
+
+void kbi(const Model& m, const double* solref, const double* solimp, double pos, double* k,
+         double* b, double* imp) {
+  *imp = impedance(solimp, pos);
+  double tc = solref[0], dr = solref[1];
+  tc = std::max(tc, 2.0 * m.timestep);  // refsafe
+  double dmax = std::min(std::max(solimp[1], kMinImp), kMaxImp);
+  double b_std = 2.0 / (dmax * std::max(tc, kMinVal));
+  double k_std = 1.0 / std::max(dmax * dmax * tc * tc * dr * dr, kMinVal);
+  if (solref[0] <= 0 && solref[1] <= 0) {  // direct convention
+    *k = -solref[0] / std::max(dmax * dmax, kMinVal);
+    *b = -solref[1] / std::max(dmax, kMinVal);
+  } else {
+    *k = k_std;
+    *b = b_std;
+  }
+}
+
+// ---------- pipeline ----------
+
+void fk(const Model& m, Data& d) {
+  int nb = m.nbody;
   d.xpos.assign(nb, {});
   d.xquat.assign(nb, {});
   d.xipos.assign(nb, {});
@@ -136,8 +229,14 @@ void step(const Model& m, Data& d) {
     Vec3 pos = d.xpos[p] + rotate(m.body_pos[b], d.xquat[p]);
     Quat quat = mul(d.xquat[p], m.body_quat[b]);
     int j = b - 1;  // one joint per moving body, aligned ids
-    if (m.jnt_type[j] == 3) {  // hinge
-      double angle = d.qpos[j] - m.qpos0[j];
+    int qa = m.jnt_qposadr[j];
+    if (m.jnt_type[j] == JNT_FREE) {
+      pos = {d.qpos[qa], d.qpos[qa + 1], d.qpos[qa + 2]};
+      quat = normalize({d.qpos[qa + 3], d.qpos[qa + 4], d.qpos[qa + 5], d.qpos[qa + 6]});
+      d.xanchor[j] = pos;
+      d.xaxis[j] = rotate(m.jnt_axis[j], quat);
+    } else if (m.jnt_type[j] == JNT_HINGE) {
+      double angle = d.qpos[qa] - m.qpos0[qa];
       Vec3 anchor = pos + rotate(m.jnt_pos[j], quat);
       quat = mul(quat, axis_angle(m.jnt_axis[j], angle));
       pos = anchor - rotate(m.jnt_pos[j], quat);
@@ -145,7 +244,7 @@ void step(const Model& m, Data& d) {
       d.xaxis[j] = rotate(m.jnt_axis[j], quat);
     } else {  // slide
       Vec3 ax = rotate(m.jnt_axis[j], quat);
-      pos = pos + (d.qpos[j] - m.qpos0[j]) * ax;
+      pos = pos + (d.qpos[qa] - m.qpos0[qa]) * ax;
       d.xanchor[j] = pos + rotate(m.jnt_pos[j], quat);
       d.xaxis[j] = ax;
     }
@@ -153,93 +252,131 @@ void step(const Model& m, Data& d) {
     d.xquat[b] = quat;
     d.xipos[b] = pos + rotate(m.body_ipos[b], quat);
   }
+  // geom poses
+  d.gxpos.assign(m.ngeom, {});
+  d.gxmat.assign(m.ngeom * 9, 0.0);
+  for (int g = 0; g < m.ngeom; ++g) {
+    int b = m.geom_body[g];
+    d.gxpos[g] = d.xpos[b] + rotate(m.geom_pos[g], d.xquat[b]);
+    quat_to_mat(mul(d.xquat[b], m.geom_quat[g]), &d.gxmat[g * 9]);
+  }
+}
 
-  // ---- com frame origin: whole-tree com ----
+// com-frame origin (whole-tree com; any consistent origin gives identical
+// dynamics, and contact jacobians below use the same origin)
+Vec3 com_origin(const Model& m, const Data& d) {
   double mtot = 0;
   Vec3 com{};
-  for (int b = 1; b < nb; ++b) {
+  for (int b = 1; b < m.nbody; ++b) {
     mtot += m.mass[b];
     com = com + m.mass[b] * d.xipos[b];
   }
   if (mtot > 0) com = (1.0 / mtot) * com;
+  return com;
+}
 
-  // ---- cdof, cinert ----
-  d.cdof.assign(nv, {});
+void cdofs(const Model& m, Data& d, Vec3 com) {
+  d.cdof.assign(m.nv, {});
   for (int j = 0; j < m.njnt; ++j) {
-    if (m.jnt_type[j] == 3) {
-      d.cdof[j] = {d.xaxis[j], cross(d.xaxis[j], com - d.xanchor[j])};
-    } else {
-      d.cdof[j] = {Vec3{}, d.xaxis[j]};
+    int da = m.jnt_dofadr[j];
+    int b = j + 1;
+    if (m.jnt_type[j] == JNT_HINGE) {
+      d.cdof[da] = {d.xaxis[j], cross(d.xaxis[j], com - d.xanchor[j])};
+    } else if (m.jnt_type[j] == JNT_SLIDE) {
+      d.cdof[da] = {Vec3{}, d.xaxis[j]};
+    } else {  // free: 3 world translation axes + 3 body-frame rotation axes
+      d.cdof[da + 0] = {Vec3{}, Vec3{1, 0, 0}};
+      d.cdof[da + 1] = {Vec3{}, Vec3{0, 1, 0}};
+      d.cdof[da + 2] = {Vec3{}, Vec3{0, 0, 1}};
+      double R[9];
+      quat_to_mat(d.xquat[b], R);
+      Vec3 anchor = d.xanchor[j];
+      for (int k = 0; k < 3; ++k) {
+        Vec3 ax{R[0 + k], R[3 + k], R[6 + k]};  // body axis k in world coords
+        d.cdof[da + 3 + k] = {ax, cross(ax, com - anchor)};
+      }
     }
   }
-  // spatial inertia per body about com origin (world axes)
-  std::vector<double> I(nb * 9, 0.0);
-  std::vector<Vec3> h(nb);  // m*(c-o)
-  for (int b = 1; b < nb; ++b) {
-    // world inertia = R_i diag R_i^T with R_i = body orientation * iquat
+}
+
+struct Inertias {
+  std::vector<double> I;  // nbody*9 world rotational inertia about body com
+  std::vector<Vec3> h;    // xipos - origin
+};
+
+Inertias body_inertias(const Model& m, const Data& d, Vec3 com) {
+  Inertias out;
+  out.I.assign(m.nbody * 9, 0.0);
+  out.h.assign(m.nbody, {});
+  for (int b = 1; b < m.nbody; ++b) {
     Quat qi = mul(d.xquat[b], m.body_iquat[b]);
     double R[9];
-    {
-      double w = qi.w, x = qi.x, y = qi.y, z = qi.z;
-      R[0] = 1 - 2 * (y * y + z * z); R[1] = 2 * (x * y - w * z); R[2] = 2 * (x * z + w * y);
-      R[3] = 2 * (x * y + w * z); R[4] = 1 - 2 * (x * x + z * z); R[5] = 2 * (y * z - w * x);
-      R[6] = 2 * (x * z - w * y); R[7] = 2 * (y * z + w * x); R[8] = 1 - 2 * (x * x + y * y);
-    }
+    quat_to_mat(qi, R);
     double diag[3] = {m.inertia[b].x, m.inertia[b].y, m.inertia[b].z};
     for (int r = 0; r < 3; ++r)
       for (int c = 0; c < 3; ++c) {
         double v = 0;
         for (int k = 0; k < 3; ++k) v += R[r * 3 + k] * diag[k] * R[c * 3 + k];
-        I[b * 9 + r * 3 + c] = v;
+        out.I[b * 9 + r * 3 + c] = v;
       }
-    h[b] = d.xipos[b] - com;
+    out.h[b] = d.xipos[b] - com;
   }
+  return out;
+}
 
-  auto apply_inertia = [&](int b, Spatial v) -> Spatial {
-    // f = [I_c + m S(r)S(r)^T, m S(r); m S(r)^T, m E] v   with r = h[b]
-    Vec3 r = h[b];
-    double* Ic = &I[b * 9];
-    Vec3 Iw{Ic[0] * v.ang.x + Ic[1] * v.ang.y + Ic[2] * v.ang.z,
-            Ic[3] * v.ang.x + Ic[4] * v.ang.y + Ic[5] * v.ang.z,
-            Ic[6] * v.ang.x + Ic[7] * v.ang.y + Ic[8] * v.ang.z};
-    // f_ang = I_c w + m r x (-(r x w)) + m r x v ; f_lin = m (w x r) + m v
-    Vec3 ang = Iw + m.mass[b] * cross(r, cross(r, {-v.ang.x, -v.ang.y, -v.ang.z})) + m.mass[b] * cross(r, v.lin);
-    Vec3 lin = m.mass[b] * cross({-r.x, -r.y, -r.z}, v.ang) + m.mass[b] * v.lin;
-    return {ang, lin};
-  };
+Spatial apply_inertia(const Model& m, const Inertias& in, int b, Spatial v) {
+  Vec3 r = in.h[b];
+  const double* Ic = &in.I[b * 9];
+  Vec3 Iw{Ic[0] * v.ang.x + Ic[1] * v.ang.y + Ic[2] * v.ang.z,
+          Ic[3] * v.ang.x + Ic[4] * v.ang.y + Ic[5] * v.ang.z,
+          Ic[6] * v.ang.x + Ic[7] * v.ang.y + Ic[8] * v.ang.z};
+  Vec3 ang = Iw + m.mass[b] * cross(r, cross(r, {-v.ang.x, -v.ang.y, -v.ang.z})) +
+             m.mass[b] * cross(r, v.lin);
+  Vec3 lin = m.mass[b] * cross({-r.x, -r.y, -r.z}, v.ang) + m.mass[b] * v.lin;
+  return {ang, lin};
+}
 
-  // ---- CRBA (dense, ancestor chains) ----
+void crba(const Model& m, Data& d, const Inertias& in) {
+  int nv = m.nv, nb = m.nbody;
   d.M.assign(nv * nv, 0.0);
-  // composite inertia applied via subtree supports: M[i][j] = cdof_i . (sum_b in subtree(max) I_b cdof_j)
-  // simple O(nv^2 * nb): adequate for an oracle
   for (int i = 0; i < nv; ++i) {
     for (int jj = 0; jj <= i; ++jj) {
-      // bodies supported by both dofs: all bodies below body(i) (deeper dof)
       double v = 0;
-      for (int b = m.jnt_body[i]; b < nb; ++b) {
-        // is dof i an ancestor of b and dof jj an ancestor of b?
+      int bi = m.dof_body[i];
+      for (int b = bi; b < nb; ++b) {
         bool ai = false, aj = false;
         for (int bb = b; bb > 0; bb = m.parent[bb]) {
-          if (bb == m.jnt_body[i]) ai = true;
-          if (bb == m.jnt_body[jj]) aj = true;
+          if (bb == m.dof_body[i]) ai = true;
+          if (bb == m.dof_body[jj]) aj = true;
         }
-        if (ai && aj) v += sdot(d.cdof[i], apply_inertia(b, d.cdof[jj]));
+        if (ai && aj) v += sdot(d.cdof[i], apply_inertia(m, in, b, d.cdof[jj]));
       }
       d.M[i * nv + jj] = v;
       d.M[jj * nv + i] = v;
     }
   }
   for (int i = 0; i < nv; ++i) d.M[i * nv + i] += m.armature[i];
+}
 
-  // ---- velocities + RNEA bias ----
+std::vector<double> rnea_bias(const Model& m, Data& d, const Inertias& in) {
+  int nb = m.nbody, nv = m.nv;
   d.cvel.assign(nb, {});
   d.cdofdot.assign(nv, {});
   for (int b = 1; b < nb; ++b) {
     int p = m.parent[b];
-    Spatial v = d.cvel[p];
     int j = b - 1;
-    d.cdofdot[j] = crm(v, d.cdof[j]);
-    d.cvel[b] = v + d.qvel[j] * d.cdof[j];
+    int da = m.jnt_dofadr[j];
+    Spatial v = d.cvel[p];
+    if (m.jnt_type[j] == JNT_FREE) {
+      // translation dofs join the running velocity first (zero derivative)
+      for (int k = 0; k < 3; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
+      for (int k = 3; k < 6; ++k) d.cdofdot[da + k] = crm(v, d.cdof[da + k]);
+      for (int k = 3; k < 6; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
+    } else {
+      d.cdofdot[da] = crm(v, d.cdof[da]);
+      v = v + d.qvel[da] * d.cdof[da];
+    }
+    d.cvel[b] = v;
   }
   std::vector<Spatial> acc(nb, Spatial{});
   std::vector<Spatial> frc(nb, Spatial{});
@@ -247,43 +384,352 @@ void step(const Model& m, Data& d) {
   for (int b = 1; b < nb; ++b) {
     int p = m.parent[b];
     int j = b - 1;
-    acc[b] = acc[p] + d.qvel[j] * d.cdofdot[j];
-    Spatial Iv = apply_inertia(b, d.cvel[b]);
-    frc[b] = apply_inertia(b, acc[b]) + crf(d.cvel[b], Iv);
+    int da = m.jnt_dofadr[j];
+    int w = m.jnt_type[j] == JNT_FREE ? 6 : 1;
+    Spatial a = acc[p];
+    for (int k = 0; k < w; ++k) a = a + d.qvel[da + k] * d.cdofdot[da + k];
+    acc[b] = a;
+    Spatial Iv = apply_inertia(m, in, b, d.cvel[b]);
+    frc[b] = apply_inertia(m, in, b, acc[b]) + crf(d.cvel[b], Iv);
   }
   for (int b = nb - 1; b > 0; --b)
     if (m.parent[b] > 0) frc[m.parent[b]] = frc[m.parent[b]] + frc[b];
-  std::vector<double> qfrc_bias(nv);
-  for (int j = 0; j < nv; ++j) qfrc_bias[j] = sdot(d.cdof[j], frc[m.jnt_body[j]]);
+  std::vector<double> bias(nv);
+  for (int i = 0; i < nv; ++i) bias[i] = sdot(d.cdof[i], frc[m.dof_body[i]]);
+  return bias;
+}
 
-  // ---- passive + actuation ----
-  d.qfrc.assign(nv, 0.0);
-  for (int j = 0; j < nv; ++j)
-    d.qfrc[j] = -m.stiffness[j] * (d.qpos[j] - m.springref[j]) - m.damping[j] * d.qvel[j] - qfrc_bias[j];
+// dof i supports body b iff dof i's body is an ancestor of b (or b itself)
+bool dof_supports(const Model& m, int dof, int body) {
+  int db = m.dof_body[dof];
+  for (int bb = body; bb > 0; bb = m.parent[bb])
+    if (bb == db) return true;
+  return false;
+}
+
+// translational jacobian row of a world point on `body` for dof i
+Vec3 point_jac(const Model& m, const Data& d, Vec3 com, int dof, Vec3 point) {
+  return d.cdof[dof].lin + cross(d.cdof[dof].ang, point - com);
+}
+
+void make_contact_rows(const Model& m, Data& d, Vec3 com) {
+  int nv = m.nv;
+  for (int p = 0; p < m.npair; ++p) {
+    int g1 = m.pair_g1[p], g2 = m.pair_g2[p];
+    int b2 = m.geom_body[g2];
+    const double* Rp = &d.gxmat[g1 * 9];
+    Vec3 n{Rp[2], Rp[5], Rp[8]};  // plane z axis
+    Vec3 porg = d.gxpos[g1];
+    // contact candidates: (dist, pos)
+    std::vector<std::pair<double, Vec3>> cands;
+    if (m.geom_type[g2] == GEOM_SPHERE) {
+      double r = m.geom_size[g2].x;
+      double h = dot(d.gxpos[g2] - porg, n);
+      double dist = h - r;
+      cands.push_back({dist, d.gxpos[g2] - (r + 0.5 * dist) * n});
+    } else {  // box: 4 deepest corners
+      const double* Rb = &d.gxmat[g2 * 9];
+      Vec3 s = m.geom_size[g2];
+      std::vector<std::pair<double, Vec3>> all;
+      for (int sx = -1; sx <= 1; sx += 2)
+        for (int sy = -1; sy <= 1; sy += 2)
+          for (int sz = -1; sz <= 1; sz += 2) {
+            Vec3 loc{sx * s.x, sy * s.y, sz * s.z};
+            Vec3 pt{Rb[0] * loc.x + Rb[1] * loc.y + Rb[2] * loc.z + d.gxpos[g2].x,
+                    Rb[3] * loc.x + Rb[4] * loc.y + Rb[5] * loc.z + d.gxpos[g2].y,
+                    Rb[6] * loc.x + Rb[7] * loc.y + Rb[8] * loc.z + d.gxpos[g2].z};
+            double dist = dot(pt - porg, n);
+            all.push_back({dist, pt - 0.5 * dist * n});
+          }
+      std::stable_sort(all.begin(), all.end(),
+                       [](const auto& a, const auto& b) { return a.first < b.first; });
+      for (int k = 0; k < 4; ++k) cands.push_back(all[k]);
+    }
+    // tangent frame (mirrors engine/collision._make_frame)
+    Vec3 ref = std::abs(n.y) <= std::abs(n.x) ? Vec3{0, 1, 0} : Vec3{1, 0, 0};
+    Vec3 t1 = ref - dot(n, ref) * n;
+    double t1n = std::sqrt(dot(t1, t1));
+    t1 = (1.0 / std::max(t1n, 1e-12)) * t1;
+    Vec3 t2 = cross(n, t1);
+
+    const double* fric = &m.pair_friction[p * 5];
+    const double* solref = &m.pair_solref[p * 2];
+    const double* solimp = &m.pair_solimp[p * 5];
+    double margin = m.pair_margin[p];
+    double invweight = m.pair_invweight[p];
+    int condim = m.pair_condim[p];
+
+    for (auto& cd : cands) {
+      double dist = cd.first;
+      Vec3 pos = cd.second;
+      bool active = dist < margin;
+      double pc = dist - margin;
+      double k, b, imp;
+      kbi(m, solref, solimp, pc, &k, &b, &imp);
+      double mu0 = fric[0];
+      double diag = condim == 1 ? invweight
+                                : 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invweight / m.impratio;
+      double D = imp / std::max((1 - imp) * diag, kMinVal);
+      // per-dof translational jacobian of the relative velocity (geom2 is the
+      // moving body; plane is on the world side here)
+      std::vector<Vec3> jac(nv, Vec3{});
+      for (int i = 0; i < nv; ++i)
+        if (dof_supports(m, i, b2)) jac[i] = point_jac(m, d, com, i, pos);
+      std::vector<double> Jn(nv), Jt1(nv), Jt2(nv);
+      for (int i = 0; i < nv; ++i) {
+        Jn[i] = dot(n, jac[i]);
+        Jt1[i] = dot(t1, jac[i]);
+        Jt2[i] = dot(t2, jac[i]);
+      }
+      int nrow = condim == 1 ? 1 : 2 * (condim - 1);
+      for (int r = 0; r < nrow; ++r) {
+        EfcRow row;
+        row.J.assign(nv, 0.0);
+        double sign = (r % 2 == 0) ? 1.0 : -1.0;
+        const std::vector<double>* Jt = (condim == 1) ? nullptr : (r / 2 == 0 ? &Jt1 : &Jt2);
+        double mu = (condim == 1) ? 0.0 : fric[r / 2];
+        double jq = 0;
+        for (int i = 0; i < nv; ++i) {
+          row.J[i] = Jn[i] + (Jt ? sign * mu * (*Jt)[i] : 0.0);
+          jq += row.J[i] * d.qvel[i];
+        }
+        row.D = D;
+        row.pos = dist;
+        row.aref = -b * jq - k * imp * pc;
+        row.active = active;
+        d.efc.push_back(row);
+      }
+    }
+  }
+}
+
+void make_limit_rows(const Model& m, Data& d) {
+  int nv = m.nv;
+  for (int j = 0; j < m.njnt; ++j) {
+    if (!m.jnt_limited[j]) continue;
+    if (m.jnt_type[j] != JNT_HINGE && m.jnt_type[j] != JNT_SLIDE) continue;
+    int qa = m.jnt_qposadr[j], da = m.jnt_dofadr[j];
+    double q = d.qpos[qa];
+    double dist_lo = q - m.jnt_lo[j], dist_hi = m.jnt_hi[j] - q;
+    bool lower = dist_lo < dist_hi;
+    double dist = lower ? dist_lo : dist_hi;
+    double sign = lower ? 1.0 : -1.0;
+    double margin = m.jnt_margin[j];
+    double pos = dist - margin;
+    double k, b, imp;
+    kbi(m, &m.jnt_solref[j * 2], &m.jnt_solimp[j * 5], pos, &k, &b, &imp);
+    EfcRow row;
+    row.J.assign(nv, 0.0);
+    row.J[da] = sign;
+    row.pos = pos;
+    row.D = imp / std::max((1 - imp) * m.dof_invweight0[da], kMinVal);
+    row.aref = -b * sign * d.qvel[da] - k * imp * pos;
+    row.active = dist < margin;
+    d.efc.push_back(row);
+  }
+}
+
+// primal Newton solve (mirrors engine/solver.py: one-sided rows, exact
+// scalar-Newton line search, scaled-improvement stop)
+void solve_constraints(const Model& m, Data& d, const std::vector<double>& qacc_smooth,
+                       std::vector<double>& qacc, std::vector<double>& qfrc_constraint) {
+  int nv = m.nv;
+  int nefc = (int)d.efc.size();
+  qacc = qacc_smooth;
+  qfrc_constraint.assign(nv, 0.0);
+  if (nefc == 0) return;
+
+  auto jar_of = [&](const std::vector<double>& a, std::vector<double>& jar) {
+    jar.assign(nefc, 0.0);
+    for (int r = 0; r < nefc; ++r) {
+      double v = 0;
+      for (int i = 0; i < nv; ++i) v += d.efc[r].J[i] * a[i];
+      jar[r] = v - d.efc[r].aref;
+    }
+  };
+  auto cost_of = [&](const std::vector<double>& a, const std::vector<double>& jar) {
+    double c = 0;
+    std::vector<double> da(nv);
+    for (int i = 0; i < nv; ++i) da[i] = a[i] - qacc_smooth[i];
+    for (int i = 0; i < nv; ++i) {
+      double mv = 0;
+      for (int k = 0; k < nv; ++k) mv += d.M[i * nv + k] * da[k];
+      c += 0.5 * da[i] * mv;
+    }
+    for (int r = 0; r < nefc; ++r)
+      if (d.efc[r].active && jar[r] < 0) c += 0.5 * d.efc[r].D * jar[r] * jar[r];
+    return c;
+  };
+
+  std::vector<double> jar, jar_ws;
+  jar_of(qacc, jar);
+  double cost = cost_of(qacc, jar);
+  if (!d.qacc_warmstart.empty()) {
+    jar_of(d.qacc_warmstart, jar_ws);
+    double cw = cost_of(d.qacc_warmstart, jar_ws);
+    if (cw < cost) {
+      qacc = d.qacc_warmstart;
+      jar = jar_ws;
+      cost = cw;
+    }
+  }
+
+  double tol = m.tolerance * nv * std::max(m.total_mass, 1.0);
+  double prev_cost = 1e300;
+  std::vector<double> grad(nv), p(nv), jp(nefc), Mda(nv);
+
+  for (int it = 0; it < std::max(m.iterations, 1); ++it) {
+    if (prev_cost - cost <= tol && it > 0) break;
+    // grad = M (a - as) - J^T force;  force_r = -D jar_r (active & jar<0)
+    for (int i = 0; i < nv; ++i) {
+      double mv = 0;
+      for (int k = 0; k < nv; ++k) mv += d.M[i * nv + k] * (qacc[k] - qacc_smooth[k]);
+      grad[i] = mv;
+    }
+    for (int r = 0; r < nefc; ++r) {
+      if (!(d.efc[r].active && jar[r] < 0)) continue;
+      double f = -d.efc[r].D * jar[r];
+      for (int i = 0; i < nv; ++i) grad[i] -= d.efc[r].J[i] * f;
+    }
+    // H = M + J^T diag(D * quad) J + 1e-8 I
+    std::vector<double> H(d.M);
+    for (int r = 0; r < nefc; ++r) {
+      if (!(d.efc[r].active && jar[r] < 0)) continue;
+      double Dr = d.efc[r].D;
+      for (int i = 0; i < nv; ++i) {
+        if (d.efc[r].J[i] == 0) continue;
+        for (int k = 0; k < nv; ++k) H[i * nv + k] += Dr * d.efc[r].J[i] * d.efc[r].J[k];
+      }
+    }
+    for (int i = 0; i < nv; ++i) H[i * nv + i] += 1e-8;
+    p = grad;
+    factor_solve(nv, H, p);
+    for (int i = 0; i < nv; ++i) p[i] = -p[i];
+    for (int r = 0; r < nefc; ++r) {
+      double v = 0;
+      for (int i = 0; i < nv; ++i) v += d.efc[r].J[i] * p[i];
+      jp[r] = v;
+    }
+    // line search: scalar Newton on phi(t)
+    double pmp = 0, pma = 0;
+    {
+      std::vector<double> Mp(nv, 0.0);
+      for (int i = 0; i < nv; ++i)
+        for (int k = 0; k < nv; ++k) Mp[i] += d.M[i * nv + k] * p[k];
+      for (int i = 0; i < nv; ++i) {
+        pmp += p[i] * Mp[i];
+        double mv = 0;
+        for (int k = 0; k < nv; ++k) mv += d.M[i * nv + k] * (qacc[k] - qacc_smooth[k]);
+        pma += p[i] * mv;
+      }
+    }
+    double t = 0;
+    for (int ls = 0; ls < std::max(m.ls_iterations, 1); ++ls) {
+      double g = pma + t * pmp, h = pmp;
+      for (int r = 0; r < nefc; ++r) {
+        double jart = jar[r] + t * jp[r];
+        if (d.efc[r].active && jart < 0) {
+          g += d.efc[r].D * jart * jp[r];
+          h += d.efc[r].D * jp[r] * jp[r];
+        }
+      }
+      t -= g / std::max(h, 1e-12);
+    }
+    t = std::min(std::max(t, 0.0), 4.0);
+    std::vector<double> qacc_n(nv), jar_n(nefc);
+    for (int i = 0; i < nv; ++i) qacc_n[i] = qacc[i] + t * p[i];
+    for (int r = 0; r < nefc; ++r) jar_n[r] = jar[r] + t * jp[r];
+    double cost_n = cost_of(qacc_n, jar_n);
+    if (cost_n < cost) {
+      prev_cost = cost;
+      qacc = qacc_n;
+      jar = jar_n;
+      cost = cost_n;
+    } else {
+      break;
+    }
+  }
+
+  for (int r = 0; r < nefc; ++r) {
+    if (!(d.efc[r].active && jar[r] < 0)) continue;
+    double f = -d.efc[r].D * jar[r];
+    for (int i = 0; i < nv; ++i) qfrc_constraint[i] += d.efc[r].J[i] * f;
+  }
+  d.qacc_warmstart = qacc;
+}
+
+void step(const Model& m, Data& d) {
+  int nv = m.nv;
+  fk(m, d);
+  Vec3 com = com_origin(m, d);
+  cdofs(m, d, com);
+  Inertias in = body_inertias(m, d, com);
+  crba(m, d, in);
+  std::vector<double> bias = rnea_bias(m, d, in);
+
+  // passive + actuation
+  std::vector<double> qfrc(nv, 0.0);
+  for (int j = 0; j < m.njnt; ++j) {
+    if (m.jnt_type[j] == JNT_FREE) continue;
+    int qa = m.jnt_qposadr[j], da = m.jnt_dofadr[j];
+    qfrc[da] += -m.jnt_stiffness[j] * (d.qpos[qa] - m.jnt_springref[j]);
+  }
+  for (int i = 0; i < nv; ++i) qfrc[i] += -m.damping[i] * d.qvel[i] - bias[i];
   for (int u = 0; u < m.nu; ++u) {
     double c = d.ctrl[u];
     if (m.ctrl_lo[u] < m.ctrl_hi[u]) c = std::min(std::max(c, m.ctrl_lo[u]), m.ctrl_hi[u]);
-    d.qfrc[m.act_joint[u]] += m.gear[u] * c;
+    qfrc[m.act_dof[u]] += m.gear[u] * c;
   }
 
-  // ---- implicit-damping Euler: (M + h D) dv = h * qfrc_total ----
-  double hstep = m.timestep;
-  std::vector<double> A(d.M);
+  // qacc_smooth = M^-1 qfrc
+  std::vector<double> qacc_smooth(qfrc);
+  factor_solve(nv, d.M, qacc_smooth);
+
+  // constraints
+  d.efc.clear();
+  make_limit_rows(m, d);
+  make_contact_rows(m, d, com);
+  std::vector<double> qacc, qfrc_constraint;
+  solve_constraints(m, d, qacc_smooth, qacc, qfrc_constraint);
+
+  // implicit-damping Euler
+  double h = m.timestep;
   bool any_damping = false;
-  for (int j = 0; j < nv; ++j)
-    if (m.damping[j] > 0) any_damping = true;
-  std::vector<double> rhs(nv);
+  for (int i = 0; i < nv; ++i)
+    if (m.damping[i] > 0) any_damping = true;
   if (any_damping) {
-    for (int j = 0; j < nv; ++j) A[j * nv + j] += hstep * m.damping[j];
-    for (int j = 0; j < nv; ++j) rhs[j] = hstep * d.qfrc[j];
+    std::vector<double> A(d.M);
+    for (int i = 0; i < nv; ++i) A[i * nv + i] += h * m.damping[i];
+    std::vector<double> rhs(nv, 0.0);
+    for (int i = 0; i < nv; ++i)
+      for (int k = 0; k < nv; ++k) rhs[i] += d.M[i * nv + k] * qacc[k];
+    for (int i = 0; i < nv; ++i) rhs[i] *= h;
     factor_solve(nv, A, rhs);
-    for (int j = 0; j < nv; ++j) d.qvel[j] += rhs[j];
+    for (int i = 0; i < nv; ++i) d.qvel[i] += rhs[i];
   } else {
-    for (int j = 0; j < nv; ++j) rhs[j] = d.qfrc[j];
-    factor_solve(nv, A, rhs);
-    for (int j = 0; j < nv; ++j) d.qvel[j] += hstep * rhs[j];
+    for (int i = 0; i < nv; ++i) d.qvel[i] += h * qacc[i];
   }
-  for (int j = 0; j < nv; ++j) d.qpos[j] += hstep * d.qvel[j];
+
+  // position integration (quaternion expmap for free joints)
+  for (int j = 0; j < m.njnt; ++j) {
+    int qa = m.jnt_qposadr[j], da = m.jnt_dofadr[j];
+    if (m.jnt_type[j] == JNT_FREE) {
+      for (int k = 0; k < 3; ++k) d.qpos[qa + k] += h * d.qvel[da + k];
+      Vec3 w{d.qvel[da + 3], d.qvel[da + 4], d.qvel[da + 5]};
+      double wn = std::sqrt(dot(w, w));
+      Quat q{d.qpos[qa + 3], d.qpos[qa + 4], d.qpos[qa + 5], d.qpos[qa + 6]};
+      if (wn > 1e-14) {
+        Quat dq = axis_angle((1.0 / wn) * w, wn * h);
+        q = normalize(mul(q, dq));
+      }
+      d.qpos[qa + 3] = q.w;
+      d.qpos[qa + 4] = q.x;
+      d.qpos[qa + 5] = q.y;
+      d.qpos[qa + 6] = q.z;
+    } else {
+      d.qpos[qa] += h * d.qvel[da];
+    }
+  }
 }
 
 Model* g_model = nullptr;
@@ -293,58 +739,119 @@ Data* g_data = nullptr;
 
 extern "C" {
 
-int ambersim_create(int nbody, int nu, double timestep, const double* gravity,
-                    const int* parent, const double* body_pos, const double* body_quat,
-                    const double* body_ipos, const double* body_iquat, const double* mass,
-                    const double* inertia, const int* jnt_type, const double* jnt_pos,
-                    const double* jnt_axis, const double* stiffness, const double* springref,
-                    const double* damping, const double* armature, const double* qpos0,
-                    const int* act_joint, const double* gear, const double* ctrlrange) {
+// v2 ABI: packed arrays; see ambersim_tpu/native/__init__.py for the layout.
+int ambersim_create2(int nbody, int njnt, int nq, int nv, int nu, int ngeom, int npair,
+                     const double* opt,        // [timestep, gx, gy, gz, impratio,
+                                               //  tolerance, iterations, ls_iterations,
+                                               //  total_mass]
+                     const int* parent,        // nbody
+                     const double* body_real,  // nbody x 18: pos3 quat4 ipos3 iquat4 mass1 inertia3
+                     const int* jnt_int,       // njnt x 4: type qposadr dofadr limited
+                     const double* jnt_real,   // njnt x 18: pos3 axis3 stiffness springref lo hi
+                                               //            margin solref2 solimp5
+                     const double* dof_real,   // nv x 3: damping armature invweight0
+                     const double* qpos0,      // nq
+                     const int* geom_int,      // ngeom x 2: type bodyid
+                     const double* geom_real,  // ngeom x 10: pos3 quat4 size3
+                     const int* pair_int,      // npair x 3: g1 g2 condim
+                     const double* pair_real,  // npair x 14: friction5 solref2 solimp5
+                                               //             includemargin invweight
+                     const int* act_int,       // nu: dof id
+                     const double* act_real) { // nu x 3: gear ctrllo ctrlhi
   delete g_model;
   delete g_data;
   g_model = new Model();
   Model& m = *g_model;
   m.nbody = nbody;
-  m.njnt = m.nv = nbody - 1;
+  m.njnt = njnt;
+  m.nq = nq;
+  m.nv = nv;
   m.nu = nu;
-  m.timestep = timestep;
-  m.gravity = {gravity[0], gravity[1], gravity[2]};
+  m.ngeom = ngeom;
+  m.npair = npair;
+  m.timestep = opt[0];
+  m.gravity = {opt[1], opt[2], opt[3]};
+  m.impratio = opt[4];
+  m.tolerance = opt[5];
+  m.iterations = (int)opt[6];
+  m.ls_iterations = (int)opt[7];
+  m.total_mass = opt[8];
   m.parent.assign(parent, parent + nbody);
   for (int b = 0; b < nbody; ++b) {
-    m.body_pos.push_back({body_pos[3 * b], body_pos[3 * b + 1], body_pos[3 * b + 2]});
-    m.body_quat.push_back({body_quat[4 * b], body_quat[4 * b + 1], body_quat[4 * b + 2], body_quat[4 * b + 3]});
-    m.body_ipos.push_back({body_ipos[3 * b], body_ipos[3 * b + 1], body_ipos[3 * b + 2]});
-    m.body_iquat.push_back({body_iquat[4 * b], body_iquat[4 * b + 1], body_iquat[4 * b + 2], body_iquat[4 * b + 3]});
-    m.mass.push_back(mass[b]);
-    m.inertia.push_back({inertia[3 * b], inertia[3 * b + 1], inertia[3 * b + 2]});
+    const double* r = body_real + 18 * b;
+    m.body_pos.push_back({r[0], r[1], r[2]});
+    m.body_quat.push_back({r[3], r[4], r[5], r[6]});
+    m.body_ipos.push_back({r[7], r[8], r[9]});
+    m.body_iquat.push_back({r[10], r[11], r[12], r[13]});
+    m.mass.push_back(r[14]);
+    m.inertia.push_back({r[15], r[16], r[17]});
   }
-  for (int j = 0; j < m.njnt; ++j) {
-    m.jnt_body.push_back(j + 1);
-    m.jnt_type.push_back(jnt_type[j]);
-    m.jnt_pos.push_back({jnt_pos[3 * j], jnt_pos[3 * j + 1], jnt_pos[3 * j + 2]});
-    m.jnt_axis.push_back({jnt_axis[3 * j], jnt_axis[3 * j + 1], jnt_axis[3 * j + 2]});
+  m.jnt_solref.assign(njnt * 2, 0.0);
+  m.jnt_solimp.assign(njnt * 5, 0.0);
+  for (int j = 0; j < njnt; ++j) {
+    const int* ji = jnt_int + 4 * j;
+    const double* jr = jnt_real + 18 * j;
+    m.jnt_type.push_back(ji[0]);
+    m.jnt_qposadr.push_back(ji[1]);
+    m.jnt_dofadr.push_back(ji[2]);
+    m.jnt_limited.push_back(ji[3]);
+    m.jnt_pos.push_back({jr[0], jr[1], jr[2]});
+    m.jnt_axis.push_back({jr[3], jr[4], jr[5]});
+    m.jnt_stiffness.push_back(jr[6]);
+    m.jnt_springref.push_back(jr[7]);
+    m.jnt_lo.push_back(jr[8]);
+    m.jnt_hi.push_back(jr[9]);
+    m.jnt_margin.push_back(jr[10]);
+    for (int k = 0; k < 2; ++k) m.jnt_solref[j * 2 + k] = jr[11 + k];
+    for (int k = 0; k < 5; ++k) m.jnt_solimp[j * 5 + k] = jr[13 + k];
+    int w = ji[0] == JNT_FREE ? 6 : 1;
+    for (int k = 0; k < w; ++k) {
+      m.dof_body.push_back(j + 1);
+      m.dof_jnt.push_back(j);
+    }
   }
-  m.stiffness.assign(stiffness, stiffness + m.nv);
-  m.springref.assign(springref, springref + m.nv);
-  m.damping.assign(damping, damping + m.nv);
-  m.armature.assign(armature, armature + m.nv);
-  m.qpos0.assign(qpos0, qpos0 + m.nv);
+  for (int i = 0; i < nv; ++i) {
+    m.damping.push_back(dof_real[3 * i]);
+    m.armature.push_back(dof_real[3 * i + 1]);
+    m.dof_invweight0.push_back(dof_real[3 * i + 2]);
+  }
+  m.qpos0.assign(qpos0, qpos0 + nq);
+  for (int g = 0; g < ngeom; ++g) {
+    m.geom_type.push_back(geom_int[2 * g]);
+    m.geom_body.push_back(geom_int[2 * g + 1]);
+    const double* r = geom_real + 10 * g;
+    m.geom_pos.push_back({r[0], r[1], r[2]});
+    m.geom_quat.push_back({r[3], r[4], r[5], r[6]});
+    m.geom_size.push_back({r[7], r[8], r[9]});
+  }
+  for (int p = 0; p < npair; ++p) {
+    m.pair_g1.push_back(pair_int[3 * p]);
+    m.pair_g2.push_back(pair_int[3 * p + 1]);
+    m.pair_condim.push_back(pair_int[3 * p + 2]);
+    const double* r = pair_real + 14 * p;
+    for (int k = 0; k < 5; ++k) m.pair_friction.push_back(r[k]);
+    for (int k = 0; k < 2; ++k) m.pair_solref.push_back(r[5 + k]);
+    for (int k = 0; k < 5; ++k) m.pair_solimp.push_back(r[7 + k]);
+    m.pair_margin.push_back(r[12]);
+    m.pair_invweight.push_back(r[13]);
+  }
   for (int u = 0; u < nu; ++u) {
-    m.act_joint.push_back(act_joint[u]);
-    m.gear.push_back(gear[u]);
-    m.ctrl_lo.push_back(ctrlrange[2 * u]);
-    m.ctrl_hi.push_back(ctrlrange[2 * u + 1]);
+    m.act_dof.push_back(act_int[u]);
+    m.gear.push_back(act_real[3 * u]);
+    m.ctrl_lo.push_back(act_real[3 * u + 1]);
+    m.ctrl_hi.push_back(act_real[3 * u + 2]);
   }
   g_data = new Data();
   g_data->qpos.assign(m.qpos0.begin(), m.qpos0.end());
-  g_data->qvel.assign(m.nv, 0.0);
+  g_data->qvel.assign(nv, 0.0);
   g_data->ctrl.assign(nu, 0.0);
-  return m.nv;
+  return nv;
 }
 
 void ambersim_set_state(const double* qpos, const double* qvel) {
-  std::memcpy(g_data->qpos.data(), qpos, g_model->nv * sizeof(double));
+  std::memcpy(g_data->qpos.data(), qpos, g_model->nq * sizeof(double));
   std::memcpy(g_data->qvel.data(), qvel, g_model->nv * sizeof(double));
+  g_data->qacc_warmstart.clear();
 }
 
 void ambersim_set_ctrl(const double* ctrl) {
@@ -356,7 +863,7 @@ void ambersim_step(int nsteps) {
 }
 
 void ambersim_get_state(double* qpos, double* qvel) {
-  std::memcpy(qpos, g_data->qpos.data(), g_model->nv * sizeof(double));
+  std::memcpy(qpos, g_data->qpos.data(), g_model->nq * sizeof(double));
   std::memcpy(qvel, g_data->qvel.data(), g_model->nv * sizeof(double));
 }
 

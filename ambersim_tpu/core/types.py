@@ -218,8 +218,13 @@ class Option:
 
 @struct.dataclass
 class Contact:
-    """Fixed-capacity contact set (per env). Slot-static geom pairing lives on
-    the skeleton (pair_geom1/pair_geom2); only numeric fields are traced."""
+    """Fixed-capacity contact set (per env).
+
+    Slot layout (which slot belongs to which type-group, its condim, its efc
+    rows) is static on the skeleton; slot *content* is traced. geom1/geom2
+    carry the actual geom pair per slot: for static pairs they equal the
+    skeleton's con_geom1/con_geom2 constants, for broadphase-capped groups
+    they are the runtime top-k selection (engine.collision)."""
 
     dist: jax.Array  # (ncon,)
     pos: jax.Array  # (ncon, 3)
@@ -228,6 +233,8 @@ class Contact:
     solref: jax.Array  # (ncon, 2)
     solimp: jax.Array  # (ncon, 5)
     includemargin: jax.Array  # (ncon,)
+    geom1: jax.Array  # (ncon,) int32
+    geom2: jax.Array  # (ncon,) int32
 
 
 @struct.dataclass

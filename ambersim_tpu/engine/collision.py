@@ -393,34 +393,55 @@ _NARROWPHASE = {
 SUPPORTED_PAIRS = set(_NARROWPHASE)
 
 
-def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray):
+def _mix_params(m: Model, g1, g2):
     """Contact parameter mixing (mirrors mj_contactParam): priority wins,
-    otherwise solmix-weighted solref/solimp, max friction, max margin/gap."""
-    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    otherwise solmix-weighted solref/solimp, max friction, max margin/gap.
+
+    g1/g2 may be static numpy indices or traced int arrays (broadphase-capped
+    groups select pairs at runtime), so model fields go through jnp.asarray."""
+    gprio = jnp.asarray(m.geom_priority)
+    gsolmix = jnp.asarray(m.geom_solmix)
+    gsolref = jnp.asarray(m.geom_solref)
+    gsolimp = jnp.asarray(m.geom_solimp)
+    gfriction = jnp.asarray(m.geom_friction)
+    gmargin = jnp.asarray(m.geom_margin)
+    ggap = jnp.asarray(m.geom_gap)
+
+    p1, p2 = gprio[g1], gprio[g2]
     eq = p1 == p2
-    w1 = m.geom_solmix[g1] / jnp.maximum(m.geom_solmix[g1] + m.geom_solmix[g2], 1e-12)
-    w1 = jnp.where((m.geom_solmix[g1] >= 1e-12) & (m.geom_solmix[g2] < 1e-12), 1.0, w1)
-    w1 = jnp.where((m.geom_solmix[g1] < 1e-12) & (m.geom_solmix[g2] >= 1e-12), 0.0, w1)
-    w1 = jnp.where((m.geom_solmix[g1] < 1e-12) & (m.geom_solmix[g2] < 1e-12), 0.5, w1)
+    w1 = gsolmix[g1] / jnp.maximum(gsolmix[g1] + gsolmix[g2], 1e-12)
+    w1 = jnp.where((gsolmix[g1] >= 1e-12) & (gsolmix[g2] < 1e-12), 1.0, w1)
+    w1 = jnp.where((gsolmix[g1] < 1e-12) & (gsolmix[g2] >= 1e-12), 0.0, w1)
+    w1 = jnp.where((gsolmix[g1] < 1e-12) & (gsolmix[g2] < 1e-12), 0.5, w1)
     w1 = jnp.where(eq, w1, jnp.where(p1 > p2, 1.0, 0.0))[..., None]
 
     # solref: weighted average if standard (positive); min if direct
-    sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+    sr1, sr2 = gsolref[g1], gsolref[g2]
     standard = (sr1[..., 0] > 0) & (sr2[..., 0] > 0)
     solref = jnp.where(standard[..., None], w1 * sr1 + (1 - w1) * sr2, jnp.minimum(sr1, sr2))
-    solimp = w1 * m.geom_solimp[g1] + (1 - w1) * m.geom_solimp[g2]
+    solimp = w1 * gsolimp[g1] + (1 - w1) * gsolimp[g2]
 
-    fr = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
-    fr = jnp.where(eq[..., None], fr, jnp.where(p1[..., None] > p2[..., None], m.geom_friction[g1], m.geom_friction[g2]))
+    fr = jnp.maximum(gfriction[g1], gfriction[g2])
+    fr = jnp.where(eq[..., None], fr, jnp.where(p1[..., None] > p2[..., None], gfriction[g1], gfriction[g2]))
     friction = jnp.stack([fr[..., 0], fr[..., 0], fr[..., 1], fr[..., 2], fr[..., 2]], axis=-1)
 
-    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+    margin = jnp.maximum(gmargin[g1], gmargin[g2])
+    gap = jnp.maximum(ggap[g1], ggap[g2])
     return friction, solref, solimp, margin, gap
 
 
 def collision(m: Model, d: Data) -> Data:
-    """Run narrowphase for all candidate pairs into fixed contact slots."""
+    """Run narrowphase for all candidate pairs into fixed contact slots.
+
+    Broadphase (SURVEY.md §7 step 5): type-pair groups larger than the
+    compile-time broadphase_cap don't get per-pair slots. Instead a cheap
+    bounding-sphere (or plane-halfspace) distance is computed for every pair
+    in the group — one fused gather+norm, O(npair) trivial arithmetic — and
+    ``lax.top_k`` selects the cap most-overlapping pairs. Only those run the
+    expensive narrowphase and occupy contact slots, so narrowphase cost and
+    efc row count scale with the cap, not with the O(n^2) candidate count.
+    Slot layout stays static; slot content (which geom pair) is traced.
+    """
     s = m.skel
     if s.ncon == 0:
         return d
@@ -433,11 +454,17 @@ def collision(m: Model, d: Data) -> Data:
     solref_all = jnp.zeros((s.ncon, 2), dtype)
     solimp_all = jnp.zeros((s.ncon, 5), dtype)
     margin_all = jnp.zeros((s.ncon,), dtype)
+    geom1_all = jnp.asarray(s.con_geom1, jnp.int32)
+    geom2_all = jnp.asarray(s.con_geom2, jnp.int32)
 
     # group pairs by type pair (static)
     pair_t1 = s.geom_type[s.pair_geom1]
     pair_t2 = s.geom_type[s.pair_geom2]
-    con_adr = s.con_adr  # (npair,) first contact slot of each pair
+    con_adr = s.con_adr  # (npair,) first contact slot of each pair (-1 = capped group)
+    dyn_groups = {
+        (int(t1), int(t2)): (int(adr), int(nsel))
+        for t1, t2, adr, nsel in zip(s.bpg_type1, s.bpg_type2, s.bpg_adr, s.bpg_nsel)
+    }
 
     groups: dict = {}
     for i in range(len(s.pair_geom1)):
@@ -446,23 +473,58 @@ def collision(m: Model, d: Data) -> Data:
     for tkey, idx_list in groups.items():
         fn, ncon_per = _NARROWPHASE[tkey]
         idx = np.array(idx_list, dtype=np.int32)
-        g1 = s.pair_geom1[idx]
-        g2 = s.pair_geom2[idx]
+        g1s = s.pair_geom1[idx]  # static numpy
+        g2s = s.pair_geom2[idx]
+        exp_s = s.pair_explicit[idx]  # static numpy
+
+        if tkey in dyn_groups:
+            adr, k_sel = dyn_groups[tkey]
+            # cheap bound distance over ALL pairs of the group (vectorized)
+            c1 = d.geom_xpos[g1s]
+            c2 = d.geom_xpos[g2s]
+            rb = jnp.asarray(m.geom_rbound)
+            gmargin = jnp.asarray(m.geom_margin)
+            margin_ub = jnp.maximum(gmargin[g1s], gmargin[g2s])
+            if (exp_s >= 0).any():
+                pmargin = jnp.asarray(m.pair_margin)[np.maximum(exp_s, 0)]
+                margin_ub = jnp.where(jnp.asarray(exp_s >= 0), pmargin, margin_ub)
+            if tkey[0] == int(GeomType.PLANE):
+                n = d.geom_xmat[g1s][..., :, 2]
+                db = jnp.einsum("pi,pi->p", c2 - c1, n) - rb[g2s] - margin_ub
+            else:
+                db = jnp.linalg.norm(c2 - c1, axis=-1) - rb[g1s] - rb[g2s] - margin_ub
+            _, sel = jax.lax.top_k(-db, k_sel)  # (k_sel,) most-overlapping pairs
+            g1 = jnp.asarray(g1s)[sel]
+            g2 = jnp.asarray(g2s)[sel]
+            exp = jnp.asarray(exp_s)[sel]
+            slots = adr + np.arange(k_sel * ncon_per, dtype=np.int32)
+            geom1_all = geom1_all.at[slots].set(jnp.repeat(g1, ncon_per))
+            geom2_all = geom2_all.at[slots].set(jnp.repeat(g2, ncon_per))
+            gsize = jnp.asarray(m.geom_size)
+        else:
+            g1, g2, exp = g1s, g2s, exp_s
+            slots = np.concatenate(
+                [np.arange(ncon_per, dtype=np.int32) + int(con_adr[i]) for i in idx]
+            )
+            gsize = m.geom_size
+
         args = (
-            d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-            d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+            d.geom_xpos[g1], d.geom_xmat[g1], gsize[g1],
+            d.geom_xpos[g2], d.geom_xmat[g2], gsize[g2],
         )
+
         def mesh_tuple(gs):
-            meshids = s.geom_meshid[gs]  # static
-            verts = m.mesh_vert[meshids]  # (P, V, 3)
-            vert_mask = np.arange(m.mesh_vert.shape[1])[None, :] < s.mesh_vertnum[meshids][:, None]
+            meshids = jnp.asarray(s.geom_meshid)[gs] if tkey in dyn_groups else s.geom_meshid[gs]
+            verts = jnp.asarray(m.mesh_vert)[meshids]  # (P, V, 3)
+            vertnum = jnp.asarray(s.mesh_vertnum)[meshids] if tkey in dyn_groups else s.mesh_vertnum[meshids]
+            vert_mask = jnp.arange(m.mesh_vert.shape[1])[None, :] < vertnum[:, None]
             return (
                 verts,
                 vert_mask,
-                m.mesh_face_normal[meshids],
-                m.mesh_face_dist[meshids],
-                m.mesh_face_vert[meshids],
-                m.mesh_edge[meshids],
+                jnp.asarray(m.mesh_face_normal)[meshids],
+                jnp.asarray(m.mesh_face_dist)[meshids],
+                jnp.asarray(m.mesh_face_vert)[meshids],
+                jnp.asarray(m.mesh_edge)[meshids],
             )
 
         if tkey[0] == int(GeomType.MESH):
@@ -472,20 +534,22 @@ def collision(m: Model, d: Data) -> Data:
         dist, pos, frame = fn(*args)  # (npairs_in_group, ncon_per[, ...])
         friction, solref, solimp, margin, gap = _mix_params(m, g1, g2)
         # explicit <pair> overrides
-        exp = s.pair_explicit[idx]
-        has_exp = exp >= 0
-        if has_exp.any():
-            eidx = jnp.asarray(np.maximum(exp, 0))
-            hexp = jnp.asarray(has_exp)
-            friction = jnp.where(hexp[:, None], m.pair_friction[eidx], friction)
-            solref = jnp.where(hexp[:, None], m.pair_solref[eidx], solref)
-            solimp = jnp.where(hexp[:, None], m.pair_solimp[eidx], solimp)
-            margin = jnp.where(hexp, m.pair_margin[eidx], margin)
-            gap = jnp.where(hexp, m.pair_gap[eidx], gap)
+        has_any_exp = bool((exp_s >= 0).any())
+        if has_any_exp:
+            if isinstance(exp, np.ndarray):
+                eidx = jnp.asarray(np.maximum(exp, 0))
+                hexp = jnp.asarray(exp >= 0)
+            else:
+                eidx = jnp.maximum(exp, 0)
+                hexp = exp >= 0
+            friction = jnp.where(hexp[:, None], jnp.asarray(m.pair_friction)[eidx], friction)
+            solref = jnp.where(hexp[:, None], jnp.asarray(m.pair_solref)[eidx], solref)
+            solimp = jnp.where(hexp[:, None], jnp.asarray(m.pair_solimp)[eidx], solimp)
+            margin = jnp.where(hexp, jnp.asarray(m.pair_margin)[eidx], margin)
+            gap = jnp.where(hexp, jnp.asarray(m.pair_gap)[eidx], gap)
 
         includemargin = margin - gap
-        # scatter into slots: slot indices are static
-        slots = np.concatenate([np.arange(ncon_per, dtype=np.int32) + int(con_adr[i]) for i in idx])
+        # scatter into slots (slot indices static for both paths)
         dist_all = dist_all.at[slots].set(dist.reshape(-1))
         pos_all = pos_all.at[slots].set(pos.reshape(-1, 3))
         frame_all = frame_all.at[slots].set(frame.reshape(-1, 3, 3))
@@ -502,5 +566,7 @@ def collision(m: Model, d: Data) -> Data:
         solref=solref_all,
         solimp=solimp_all,
         includemargin=margin_all,
+        geom1=geom1_all,
+        geom2=geom2_all,
     )
     return d.replace(contact=contact)

@@ -64,16 +64,18 @@ def _kbi(m: Model, solref: jax.Array, solimp: jax.Array, pos: jax.Array):
 _CACHE: dict = {}
 
 
-def _con_support(s) -> np.ndarray:
-    """(ncon, nv) static signed support: +1 dof drives geom2 body, -1 geom1."""
-    key = (s, "con_support")
+def _geom_support(s) -> np.ndarray:
+    """(ngeom, nv) static dof-support table per geom's body.
+
+    Contact rows gather from it by the *traced* contact geom ids
+    (Contact.geom1/geom2), so broadphase-capped slots whose pair is chosen at
+    runtime get the right Jacobian structure through plain gathers."""
+    key = (s, "geom_support")
     if key not in _CACHE:
         from ambersim_tpu.engine.smooth import _body_dof_support
 
         sup = _body_dof_support(s).astype(np.float32)  # (nbody, nv)
-        b1 = s.geom_bodyid[s.con_geom1]
-        b2 = s.geom_bodyid[s.con_geom2]
-        _CACHE[key] = sup[b2] - sup[b1]
+        _CACHE[key] = sup[s.geom_bodyid]
     return _CACHE[key]
 
 
@@ -226,12 +228,25 @@ def make_constraint(m: Model, d: Data) -> Data:
     con_enabled = not (m.opt.disableflags & DisableBit.CONTACT)
     if s.ncon and con_enabled:
         c = d.contact
-        signed_sup = jnp.asarray(_con_support(s), dtype)  # (ncon, nv)
+        gsup_np = _geom_support(s)  # (ngeom, nv) static table
+        if len(s.bpg_adr) == 0:
+            # all contact slots have compile-time geom pairs: bake the support
+            # as a constant and gather invweight with static indices (model
+            # leaves may be traced jit arguments — no host conversion here)
+            signed_sup = jnp.asarray(gsup_np[s.con_geom2] - gsup_np[s.con_geom1], dtype)
+            b1 = s.geom_bodyid[s.con_geom1]
+            b2 = s.geom_bodyid[s.con_geom2]
+            invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+        else:
+            # broadphase-capped groups choose pairs at runtime: gather by the
+            # traced contact geom ids
+            gsup = jnp.asarray(gsup_np, dtype)
+            signed_sup = gsup[c.geom2] - gsup[c.geom1]  # (ncon, nv)
+            gbody = jnp.asarray(s.geom_bodyid)
+            biw = jnp.asarray(m.body_invweight0)
+            invweight = biw[gbody[c.geom1], 0] + biw[gbody[c.geom2], 0]  # (ncon,)
         jacp = _point_jac(m, d, c.pos, signed_sup)  # (ncon, nv, 3)
         jframe = jnp.einsum("cij,cvj->civ", c.frame, jacp)  # (ncon, 3, nv)
-        b1 = s.geom_bodyid[s.con_geom1]
-        b2 = s.geom_bodyid[s.con_geom2]
-        invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
         pos_c = c.dist - c.includemargin
         k, b, imp = _kbi(m, c.solref, c.solimp, pos_c)
         # diagApprox (verified vs the C oracle's efc_R): frictionless rows use
@@ -251,9 +266,49 @@ def make_constraint(m: Model, d: Data) -> Data:
             jnp.einsum("cij,cvj->civ", c.frame, _rot_jac(m, d, signed_sup)) if need_rot else None
         )
 
+        from ambersim_tpu.core.types import ConeType
+
+        elliptic = m.opt.cone == int(ConeType.ELLIPTIC)
+
         # group slots by condim: one fully-batched row construction per group
         for cdim in sorted(set(int(x) for x in s.con_dim)):
             slots = np.nonzero(s.con_dim == cdim)[0]
+            if elliptic and cdim > 1:
+                # elliptic rows: [normal, friction dims] (cf. the C oracle:
+                # friction J is the raw tangent/rotation frame rows, aref has
+                # no position term, D_i = D_n*impratio*(mu_i/mu0)^2)
+                nrow = cdim
+                row_idx = (s.con_efcadr[slots][:, None] + np.arange(nrow)[None, :]).reshape(-1)
+                jt_cols = [jframe[slots, 0]]
+                for f in range(1, cdim):
+                    jt_cols.append(jframe[slots, f] if f < 3 else jframe_rot[slots, f - 3])
+                rows_J = jnp.stack(jt_cols, axis=1)  # (S, cdim, nv)
+                jqvel = jnp.einsum("srv,v->sr", rows_J, d.qvel)
+                aref_n = -b[slots] * jqvel[:, 0] - k[slots] * imp[slots] * pos_c[slots]
+                aref_f = -b[slots][:, None] * jqvel[:, 1:]
+                aref_rows = jnp.concatenate([aref_n[:, None], aref_f], axis=1)
+                mu = c.friction[slots][:, : cdim - 1]  # (S, cdim-1)
+                mu0s = c.friction[slots][:, 0]
+                # elliptic normal row: diagApprox = plain invweight (no
+                # pyramidal 2*mu^2*(1+mu^2) factor, no impratio — oracle-pinned)
+                D_n = imp[slots] / jnp.maximum((1 - imp[slots]) * invweight[slots], _MINVAL)
+                D_f = D_n[:, None] * m.opt.impratio * (mu / jnp.maximum(mu0s[:, None], 1e-12)) ** 2
+                D_rows = jnp.concatenate([D_n[:, None], D_f], axis=1)
+                pos_rows = jnp.concatenate(
+                    [c.dist[slots][:, None], jnp.zeros_like(aref_f)], axis=1
+                )
+                margin_rows = jnp.concatenate(
+                    [c.includemargin[slots][:, None], jnp.zeros_like(aref_f)], axis=1
+                )
+                efc_J = efc_J.at[row_idx].set(rows_J.reshape(-1, nv))
+                efc_pos = efc_pos.at[row_idx].set(pos_rows.reshape(-1))
+                efc_margin = efc_margin.at[row_idx].set(margin_rows.reshape(-1))
+                efc_aref = efc_aref.at[row_idx].set(aref_rows.reshape(-1))
+                efc_D = efc_D.at[row_idx].set(D_rows.reshape(-1))
+                efc_active = efc_active.at[row_idx].set(
+                    jnp.repeat(active_c[slots][:, None], nrow, axis=1).reshape(-1)
+                )
+                continue
             nrow = 1 if cdim == 1 else 2 * (cdim - 1)
             # static efc row indices (nrow per slot)
             row_idx = (s.con_efcadr[slots][:, None] + np.arange(nrow)[None, :]).reshape(-1)

@@ -57,6 +57,58 @@ def _advance_act(m: Model, d: Data, h) -> Data:
     return d.replace(act=d.act + h * d.act_dot)
 
 
+def _qderiv_vel(m: Model, d: Data) -> jax.Array:
+    """(nv, nv) analytic derivative of the velocity-dependent smooth forces,
+    D = d(qfrc_passive + qfrc_actuator)/d qvel, for implicit-in-velocity
+    integration (mjINT_IMPLICITFAST: the Coriolis derivative is omitted).
+
+    Terms: joint damping (-diag), and actuator force dependence on actuator
+    velocity (affine gain prm[2] * input + affine bias prm[2]), mapped through
+    the transmission moment: D += moment^T diag(df/dvel) moment.
+    """
+    import jax.numpy as jnp
+
+    from ambersim_tpu.core.types import BiasType, DisableBit as DB, GainType
+    from ambersim_tpu.engine import smooth
+
+    s = m.skel
+    dtype = d.qpos.dtype
+    D = -jnp.diag(jnp.asarray(m.dof_damping, dtype))
+    if s.nu and not (m.opt.disableflags & DB.ACTUATION):
+        moment = smooth.actuator_moment(m, d)  # (nu, nv)
+        inp = smooth.act_input(m, d)
+        gaintype = jnp.asarray(s.actuator_gaintype)
+        biastype = jnp.asarray(s.actuator_biastype)
+        dgain = jnp.where(gaintype != int(GainType.FIXED), m.actuator_gainprm[:, 2], 0.0) * inp
+        dbias = jnp.where(biastype == int(BiasType.AFFINE), m.actuator_biasprm[:, 2], 0.0)
+        dfv = dgain + dbias  # (nu,)
+        D = D + moment.T @ (dfv[:, None] * moment)
+    return D
+
+
+def implicitfast(m: Model, d: Data) -> Data:
+    """Implicit-in-velocity step (mjINT_IMPLICITFAST semantics): solve
+    (M - h*D) dv = h * M * qacc with D the analytic velocity derivative of the
+    smooth forces (damping + actuator velocity terms; Coriolis omitted — the
+    'fast' variant). Falls back to plain Euler velocity update when D is zero.
+    """
+    from ambersim_tpu.engine import linalg
+
+    s = m.skel
+    h = m.opt.timestep
+    d = _advance_act(m, d, h)
+    D = _qderiv_vel(m, d)
+    A = d.qM - h * D
+    # A is symmetric for this D (diag + moment^T diag moment) and positive
+    # definite for physical damping/velocity gains; tiny ridge for safety.
+    A = A + 1e-10 * jnp.eye(s.nv, dtype=A.dtype)
+    rhs = h * (d.qM @ d.qacc)
+    dv = linalg.solve_pd(A, rhs)
+    qvel = d.qvel + dv
+    qpos = integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
 def euler(m: Model, d: Data) -> Data:
     """Semi-implicit Euler step given d.qacc."""
     s = m.skel

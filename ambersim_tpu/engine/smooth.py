@@ -340,6 +340,27 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
     return moment
 
 
+def clamped_ctrl(m: Model, d: Data) -> jax.Array:
+    """ctrl with ctrlrange clamping applied (unless CLAMPCTRL disabled)."""
+    ctrl = d.ctrl
+    if not (m.opt.disableflags & DisableBit.CLAMPCTRL):
+        limited = jnp.asarray(m.skel.actuator_ctrllimited)
+        lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
+        ctrl = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
+    return ctrl
+
+
+def act_input(m: Model, d: Data) -> jax.Array:
+    """Per-actuator force input: clamped ctrl, with activation state substituted
+    for actuators that have dynamics (dyntype != none)."""
+    s = m.skel
+    inp = clamped_ctrl(m, d)
+    if s.na:
+        dyn_u = np.nonzero(s.actuator_dyntype != int(DynType.NONE))[0]
+        inp = inp.at[dyn_u].set(d.act)
+    return inp
+
+
 def fwd_actuation(m: Model, d: Data) -> Data:
     """ctrl -> generalized actuator force (fixed gain + affine bias)."""
     s = m.skel
@@ -347,11 +368,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     if s.nu == 0:
         return d.replace(qfrc_actuator=jnp.zeros(s.nv, dtype))
 
-    ctrl = d.ctrl
-    if not (m.opt.disableflags & DisableBit.CLAMPCTRL):
-        limited = jnp.asarray(s.actuator_ctrllimited)
-        lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
-        ctrl = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
+    ctrl = clamped_ctrl(m, d)
 
     scalar_u, scalar_dof, scalar_qa, _ = _joint_trn_arrays(s)
     length = jnp.zeros(s.nu, dtype)

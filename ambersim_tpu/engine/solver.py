@@ -23,8 +23,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ambersim_tpu.core.types import Data, DisableBit, Model
+from ambersim_tpu.core.types import ConeType, Data, DisableBit, Model
 
 
 class _Ctx(NamedTuple):
@@ -33,6 +34,101 @@ class _Ctx(NamedTuple):
     cost: jax.Array
     prev_cost: jax.Array
     it: jax.Array
+
+
+_META_CACHE: dict = {}
+
+
+def _elliptic_meta(s):
+    """Static per-condim contact blocks: [(cdim, slots (S,), rows (S, cdim))]."""
+    key = (s, "elliptic_meta")
+    if key not in _META_CACHE:
+        meta = []
+        for cdim in sorted(set(int(x) for x in s.con_dim)):
+            if cdim == 1:
+                continue
+            slots = np.nonzero(s.con_dim == cdim)[0]
+            rows = s.con_efcadr[slots][:, None] + np.arange(cdim)[None, :]
+            meta.append((cdim, slots, rows))
+        _META_CACHE[key] = meta
+    return _META_CACHE[key]
+
+
+def _is_elliptic(m: Model) -> bool:
+    return m.opt.cone == int(ConeType.ELLIPTIC) and len(_elliptic_meta(m.skel)) > 0
+
+
+def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows):
+    """Second-order-cone projection state for one condim block.
+
+    Coordinates are mu-scaled so the cone is circular (verified against the
+    C oracle: cone parameter mu = mu0/sqrt(impratio), friction residuals
+    y_i = jar_i * (mu_i/mu0) * sqrt(impratio), all rows weighted by the
+    normal row's D). Zones: bottom (N <= -mu*T, full quadratic), top
+    (N >= mu*T, no force), middle (projection onto the cone boundary)."""
+    c = d.contact
+    cdim = rows.shape[1]
+    x = jar[rows]  # (S, cdim)
+    active = d.efc_active[rows[:, 0]]
+    mu_vec = c.friction[slots][:, : cdim - 1]
+    mu0 = jnp.maximum(c.friction[slots][:, 0], 1e-12)
+    sq = jnp.sqrt(m.opt.impratio)
+    mu = mu0 / sq
+    scale = mu_vec / mu0[:, None] * sq  # (S, cdim-1)
+    y = x[:, 1:] * scale
+    N = x[:, 0]
+    T2 = jnp.sum(y * y, axis=-1)
+    T = jnp.sqrt(jnp.maximum(T2, 1e-24))
+    Dn = d.efc_D[rows[:, 0]]
+    bottom = N <= -mu * T
+    top = N >= mu * T
+    middle = ~(bottom | top)
+    cfac = (mu * T - N) / (1 + mu * mu)  # > 0 in the middle zone
+    cost = jnp.where(
+        bottom, 0.5 * Dn * (N * N + T2), jnp.where(middle, 0.5 * Dn * cfac * cfac * (1 + mu * mu), 0.0)
+    )
+    yhat = y / T[:, None]
+    fN = jnp.where(bottom, -Dn * N, jnp.where(middle, Dn * cfac, 0.0))
+    fY = jnp.where(
+        bottom[:, None],
+        -Dn[:, None] * y,
+        jnp.where(middle[:, None], (-Dn * cfac * mu)[:, None] * yhat, 0.0),
+    )
+    f_rows = jnp.concatenate([fN[:, None], fY * scale], axis=1) * active[:, None]
+    return {
+        "active": active, "mu": mu, "scale": scale, "yhat": yhat, "N": N, "T": T,
+        "Dn": Dn, "bottom": bottom, "middle": middle, "cfac": cfac,
+        "cost": cost * active, "f_rows": f_rows, "D_rows": d.efc_D[rows],
+    }
+
+
+def _elliptic_W(m: Model, d: Data, jar: jax.Array):
+    """Per-block (rows, W) Hessian weights: H += J_rows^T W J_rows."""
+    out = []
+    for cdim, slots, rows in _elliptic_meta(m.skel):
+        z = _elliptic_zone(m, d, jar, slots, rows)
+        S = rows.shape[0]
+        dtype = jar.dtype
+        mu, scale, yhat = z["mu"], z["scale"], z["yhat"]
+        Dn, cfac, T = z["Dn"], z["cfac"], z["T"]
+        one = 1.0 + mu * mu
+        # middle zone: Dn/(1+mu^2) v v^T with v = (-1, mu*yhat*scale), plus
+        # the norm curvature Dn*mu*cfac/T (I - yhat yhat^T) on friction dims
+        v = jnp.concatenate([-jnp.ones((S, 1), dtype), mu[:, None] * yhat * scale], axis=1)
+        W_mid = (Dn / one)[:, None, None] * v[:, :, None] * v[:, None, :]
+        eye_f = jnp.eye(cdim - 1, dtype=dtype)
+        curv = (Dn * mu * cfac / jnp.maximum(T, 1e-12))[:, None, None] * (
+            eye_f[None] - yhat[:, :, None] * yhat[:, None, :]
+        ) * (scale[:, :, None] * scale[:, None, :])
+        W_mid = W_mid.at[:, 1:, 1:].add(curv)
+        # bottom zone: plain diagonal D
+        W_bot = jax.vmap(jnp.diag)(z["D_rows"])
+        W = jnp.where(
+            z["middle"][:, None, None], W_mid, jnp.where(z["bottom"][:, None, None], W_bot, 0.0)
+        )
+        W = W * z["active"][:, None, None]
+        out.append((rows, W))
+    return out
 
 
 def _row_costs(m: Model, d: Data, jar: jax.Array):
@@ -61,6 +157,16 @@ def _row_costs(m: Model, d: Data, jar: jax.Array):
     force = jnp.where(is_fric, fric_force, quad_force) * gated * active
     # rows contributing to the Hessian (quadratic region only)
     quad = jnp.where(is_fric, ~lin, gated) & active
+
+    if _is_elliptic(m):
+        # overwrite contact block rows with the cone-projection cost/force;
+        # their Hessian contribution comes from _elliptic_W, not quad rows
+        for cdim, slots, rows in _elliptic_meta(s):
+            z = _elliptic_zone(m, d, jar, slots, rows)
+            cost = cost.at[rows].set(0.0)
+            cost = cost.at[rows[:, 0]].set(z["cost"])
+            force = force.at[rows].set(z["f_rows"])
+            quad = quad.at[rows].set(False)
     return cost, force, quad
 
 
@@ -78,12 +184,18 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
     pmp = p @ mp
     pma = p @ ma
 
+    elliptic = _is_elliptic(m)
+
     def phi_grad_hess(t):
         jart = jar + t * jp
         _, force, quad = _row_costs(m, d, jart)
         # dcost/dt = p^T M (a - as) + t p^T M p + sum_i (-force_i) * jp_i
         g = pma + t * pmp - jnp.sum(force * jp)
         h = pmp + jnp.sum(jnp.where(quad, d.efc_D * jp * jp, 0.0))
+        if elliptic:
+            for rows, W in _elliptic_W(m, d, jart):
+                jpb = jp[rows]  # (S, cdim)
+                h = h + jnp.einsum("sc,scd,sd->", jpb, W, jpb)
         return g, h
 
     # scalar Newton on t: unrolled when short (straight-line code fuses into
@@ -142,6 +254,10 @@ def _solve_newton(m: Model, d: Data) -> Data:
         grad = d.qM @ (ctx.qacc - d.qacc_smooth) - J.T @ force
         h_diag = jnp.where(quad, d.efc_D, 0.0)
         H = d.qM + jnp.einsum("iv,i,iw->vw", J, h_diag, J)
+        if _is_elliptic(m):
+            for rows, W in _elliptic_W(m, d, ctx.jar):
+                Jb = J[rows]  # (S, cdim, nv)
+                H = H + jnp.einsum("scv,scd,sdw->vw", Jb, W, Jb)
         H = H + 1e-8 * jnp.eye(s.nv, dtype=dtype)
         p = -linalg.solve_pd(H, grad)
         jp = J @ p

@@ -24,6 +24,7 @@ def load_model_from_file(
     solver: Optional[str] = None,
     iterations: Optional[int] = None,
     ls_iterations: Optional[int] = None,
+    broadphase_cap: int = 0,
     device=None,
 ) -> Model:
     """Load a URDF or MJCF file into a compiled Model.
@@ -33,7 +34,13 @@ def load_model_from_file(
     the executable with zero transfers (the right pattern on a tunneled TPU,
     where each individual host<->device transfer costs seconds). Pass
     `device=` to upload the model once as a single flat buffer instead
-    (core.device.put_model) if you want to pass it as a jit *argument*."""
+    (core.device.put_model) if you want to pass it as a jit *argument*.
+
+    broadphase_cap > 0 bounds contact capacity for cluttered scenes: any
+    geom-type pair group with more candidate pairs than the cap gets only
+    `cap` contact slots, filled each step with the cap most-overlapping pairs
+    (bounding-sphere top-k broadphase in engine/collision.py). 0 = exact
+    all-pairs narrowphase."""
     from ambersim_tpu.core.device import put_model
     from ambersim_tpu.engine.setconst import set_constants
     from ambersim_tpu.mjcf import compile_spec
@@ -52,7 +59,7 @@ def load_model_from_file(
 
         force_float_base(spec)
 
-    model = set_constants(compile_spec(spec))
+    model = set_constants(compile_spec(spec, broadphase_cap=broadphase_cap))
 
     opt_updates = {}
     if solver is not None:

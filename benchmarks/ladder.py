@@ -64,6 +64,17 @@ def main():
     m = load_model_from_file("models/objects/drop_scene.xml")
     emit("drop_scene_2048env", _time_rollout(m, _batch(m, 2048), 150))
 
+    # rung 3b: 32-object clutter (496 object-object candidate pairs) with
+    # top-k broadphase vs exact all-pairs — the sublinear-stepping claim
+    # (tests/test_broadphase.py pins correctness; this pins wall-clock)
+    m_cap = load_model_from_file("models/objects/clutter32.xml", broadphase_cap=48)
+    capped = _time_rollout(m_cap, _batch(m_cap, 1024), 100)
+    emit("clutter32_1024env_broadphase_cap48", capped)
+    m_all = load_model_from_file("models/objects/clutter32.xml")
+    exact = _time_rollout(m_all, _batch(m_all, 1024), 100)
+    emit("clutter32_1024env_exact_allpairs", exact)
+    emit("clutter32_broadphase_speedup", capped / max(exact, 1e-9), unit="x")
+
     # rung 4: quadruped PD stand, batch 4096
     m = load_model_from_file("models/quadruped/quadruped.xml")
     pd = lambda d: 60.0 * (0.0 - d.qpos[7:]) - 2.0 * d.qvel[6:]  # noqa: E731

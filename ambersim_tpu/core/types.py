@@ -123,6 +123,70 @@ class BiasType(enum.IntEnum):
     AFFINE = 1
 
 
+class SensorType(enum.IntEnum):
+    """Sensor types (MuJoCo-compatible mjtSensor values, mujoco 3.10)."""
+
+    TOUCH = 0
+    ACCELEROMETER = 1
+    VELOCIMETER = 2
+    GYRO = 3
+    FORCE = 4
+    TORQUE = 5
+    MAGNETOMETER = 6
+    RANGEFINDER = 7
+    JOINTPOS = 9
+    JOINTVEL = 10
+    TENDONPOS = 11
+    TENDONVEL = 12
+    ACTUATORPOS = 13
+    ACTUATORVEL = 14
+    ACTUATORFRC = 15
+    JOINTACTFRC = 16
+    BALLQUAT = 18
+    BALLANGVEL = 19
+    JOINTLIMITPOS = 20
+    JOINTLIMITVEL = 21
+    JOINTLIMITFRC = 22
+    FRAMEPOS = 26
+    FRAMEQUAT = 27
+    FRAMEXAXIS = 28
+    FRAMEYAXIS = 29
+    FRAMEZAXIS = 30
+    FRAMELINVEL = 31
+    FRAMEANGVEL = 32
+    FRAMELINACC = 33
+    FRAMEANGACC = 34
+    SUBTREECOM = 35
+    SUBTREELINVEL = 36
+    SUBTREEANGMOM = 37
+    E_POTENTIAL = 43
+    E_KINETIC = 44
+    CLOCK = 45
+
+
+class ObjType(enum.IntEnum):
+    """Object types sensors can attach to (MuJoCo-compatible mjtObj values)."""
+
+    UNKNOWN = 0
+    BODY = 1
+    XBODY = 2
+    JOINT = 3
+    GEOM = 5
+    SITE = 6
+    TENDON = 18
+    ACTUATOR = 19
+
+
+class SiteType(enum.IntEnum):
+    """Site shapes (subset of GeomType; used for touch-sensor zones)."""
+
+    SPHERE = 2
+    CAPSULE = 3
+    ELLIPSOID = 4
+    CYLINDER = 5
+    BOX = 6
+
+
 def _freeze(a: np.ndarray) -> np.ndarray:
     a = np.asarray(a)
     a.setflags(write=False)
@@ -203,6 +267,7 @@ class Option:
     timestep: jax.Array
     gravity: jax.Array  # (3,)
     wind: jax.Array  # (3,)
+    magnetic: jax.Array  # (3,) global magnetic flux (magnetometer sensors)
     density: jax.Array
     viscosity: jax.Array
     impratio: jax.Array
@@ -274,6 +339,14 @@ class Model:
     dof_invweight0: jax.Array  # (nv,)
     dof_solref: jax.Array  # (nv, 2)
     dof_solimp: jax.Array  # (nv, 5)
+
+    # sites
+    site_pos: jax.Array  # (nsite, 3)
+    site_quat: jax.Array  # (nsite, 4)
+    site_size: jax.Array  # (nsite, 3)
+
+    # sensors
+    sensor_cutoff: jax.Array  # (nsensor,)
 
     # geoms
     geom_pos: jax.Array  # (ngeom, 3)
@@ -348,6 +421,14 @@ class Model:
     def neq(self) -> int:
         return self.skel.neq
 
+    @property
+    def nsite(self) -> int:
+        return self.skel.nsite
+
+    @property
+    def nsensor(self) -> int:
+        return self.skel.nsensor
+
 
 @struct.dataclass
 class Data:
@@ -372,6 +453,8 @@ class Data:
     xaxis: jax.Array  # (njnt, 3)
     geom_xpos: jax.Array  # (ngeom, 3)
     geom_xmat: jax.Array  # (ngeom, 3, 3)
+    site_xpos: jax.Array  # (nsite, 3)
+    site_xmat: jax.Array  # (nsite, 3, 3)
 
     # com-based quantities
     subtree_com: jax.Array  # (nbody, 3)
@@ -409,6 +492,11 @@ class Data:
     efc_frictionloss: jax.Array  # (nefc,)
     efc_active: jax.Array  # (nefc,) bool — row participates this step
     efc_force: jax.Array  # (nefc,)
+
+    # sensors (cacc is the post-constraint body spatial acceleration, computed
+    # lazily by engine.sensor for acc-stage sensors)
+    cacc: jax.Array  # (nbody, 6)
+    sensordata: jax.Array  # (nsensordata,)
 
 
 def tree_dtype(x) -> Any:  # pragma: no cover - debugging helper

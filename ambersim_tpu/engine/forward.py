@@ -36,6 +36,11 @@ def forward(m: Model, d: Data) -> Data:
     else:
         with jax.named_scope("newton_solve"):
             d = solver.solve(m, d)
+    if m.skel.nsensor and not (m.opt.disableflags & DisableBit.SENSOR):
+        from ambersim_tpu.engine import sensor
+
+        with jax.named_scope("sensors"):
+            d = sensor.sensors(m, d)
     return d
 
 

@@ -40,6 +40,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         xaxis=z(s.njnt, 3),
         geom_xpos=z(s.ngeom, 3),
         geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.ngeom, 1, 1)),
+        site_xpos=z(s.nsite, 3),
+        site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nsite, 1, 1)),
         subtree_com=z(s.nbody, 3),
         cinert=z(s.nbody, 6, 6),
         cdof=z(s.nv, 6),
@@ -69,4 +71,6 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         efc_frictionloss=z(s.nefc),
         efc_active=jnp.zeros((s.nefc,), bool),
         efc_force=z(s.nefc),
+        cacc=z(s.nbody, 6),
+        sensordata=z(s.nsensordata),
     )

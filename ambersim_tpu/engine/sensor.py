@@ -1,0 +1,505 @@
+"""Sensor evaluation (mirrors mj_sensorPos/Vel/Acc + mj_rnePostConstraint).
+
+The reference exposes MuJoCo sensors through mjx.Data.sensordata (reference
+call path: ambersim/rl/base.py:93 mjx.step -> sensor stages). Here all three
+stages run together at the end of forward(): sensordata never feeds back
+into the dynamics, so evaluating pos/vel/acc sensors once per step — after
+qacc/efc_force are known — is semantically identical to MuJoCo's interleaved
+schedule. Per-sensor work is unrolled at trace time (sensor tables are
+static skeleton data; sensor counts are small), with shared intermediates
+(cacc, subtree momentum, contact normal forces) computed once and only when
+a present sensor type needs them.
+
+Parity: tests/test_sensors.py checks every supported type row-by-row against
+the MuJoCo C oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ambersim_tpu.core import math as am
+from ambersim_tpu.core.types import (
+    ConeType,
+    Data,
+    DisableBit,
+    JointType,
+    Model,
+    ObjType,
+    SensorType,
+    SiteType,
+)
+from ambersim_tpu.engine.schedule import tree_schedule
+
+# sensors evaluated by this module
+_POS = {
+    SensorType.MAGNETOMETER,
+    SensorType.JOINTPOS,
+    SensorType.ACTUATORPOS,
+    SensorType.BALLQUAT,
+    SensorType.JOINTLIMITPOS,
+    SensorType.FRAMEPOS,
+    SensorType.FRAMEQUAT,
+    SensorType.FRAMEXAXIS,
+    SensorType.FRAMEYAXIS,
+    SensorType.FRAMEZAXIS,
+    SensorType.SUBTREECOM,
+    SensorType.E_POTENTIAL,
+    SensorType.CLOCK,
+}
+_VEL = {
+    SensorType.VELOCIMETER,
+    SensorType.GYRO,
+    SensorType.JOINTVEL,
+    SensorType.ACTUATORVEL,
+    SensorType.BALLANGVEL,
+    SensorType.JOINTLIMITVEL,
+    SensorType.FRAMELINVEL,
+    SensorType.FRAMEANGVEL,
+    SensorType.SUBTREELINVEL,
+    SensorType.SUBTREEANGMOM,
+    SensorType.E_KINETIC,
+}
+_ACC = {
+    SensorType.TOUCH,
+    SensorType.ACCELEROMETER,
+    SensorType.FORCE,
+    SensorType.TORQUE,
+    SensorType.ACTUATORFRC,
+    SensorType.JOINTACTFRC,
+    SensorType.JOINTLIMITFRC,
+    SensorType.FRAMELINACC,
+    SensorType.FRAMEANGACC,
+}
+
+
+def _object_pos_mat(m: Model, d: Data, objtype: int, objid: int):
+    """World frame (pos, mat) of a sensor attachment object (static dispatch)."""
+    t = ObjType(objtype)
+    if t in (ObjType.BODY, ObjType.XBODY):
+        # BODY = inertial frame, XBODY = body frame (MuJoCo distinction)
+        if t == ObjType.BODY:
+            return d.xipos[objid], d.ximat[objid]
+        return d.xpos[objid], am.quat_to_mat(d.xquat[objid])
+    if t == ObjType.GEOM:
+        return d.geom_xpos[objid], d.geom_xmat[objid]
+    if t == ObjType.SITE:
+        return d.site_xpos[objid], d.site_xmat[objid]
+    raise NotImplementedError(f"sensor objtype {t}")
+
+
+def _object_bodyid(m: Model, objtype: int, objid: int) -> int:
+    t = ObjType(objtype)
+    s = m.skel
+    if t in (ObjType.BODY, ObjType.XBODY):
+        return int(objid)
+    if t == ObjType.GEOM:
+        return int(s.geom_bodyid[objid])
+    if t == ObjType.SITE:
+        return int(s.site_bodyid[objid])
+    raise NotImplementedError(f"sensor objtype {t}")
+
+
+def _point_vel(m: Model, d: Data, bodyid: int, pos):
+    """World (angvel, linvel) of a body-fixed world point (cf. mj_objectVelocity)."""
+    origin = d.subtree_com[m.skel.body_rootid[bodyid]]
+    ang = d.cvel[bodyid, :3]
+    lin = d.cvel[bodyid, 3:] + jnp.cross(ang, pos - origin)
+    return ang, lin
+
+
+def _point_acc(m: Model, d: Data, bodyid: int, pos):
+    """World (angacc, linacc) of a body-fixed point from post-constraint cacc,
+    including the rotating-frame correction (cf. mj_objectAcceleration)."""
+    origin = d.subtree_com[m.skel.body_rootid[bodyid]]
+    r = pos - origin
+    ang_v = d.cvel[bodyid, :3]
+    lin_v = d.cvel[bodyid, 3:] + jnp.cross(ang_v, r)
+    ang_a = d.cacc[bodyid, :3]
+    lin_a = d.cacc[bodyid, 3:] + jnp.cross(ang_a, r) + jnp.cross(ang_v, lin_v)
+    return ang_a, lin_a
+
+
+def rne_postconstraint(m: Model, d: Data) -> Data:
+    """Post-constraint spatial accelerations cacc (forward pass of
+    mj_rnePostConstraint; gravity offset at the root, full qacc included)."""
+    s = m.skel
+    sched = tree_schedule(s)
+    dtype = d.qpos.dtype
+    gravity = jnp.where(m.opt.disableflags & DisableBit.GRAVITY, 0.0, 1.0) * m.opt.gravity
+    cacc = jnp.zeros((s.nbody, 6), dtype)
+    cacc = cacc.at[0].set(jnp.concatenate([jnp.zeros(3, dtype), -jnp.asarray(gravity, dtype)]))
+    for level in sched.levels:
+        for sig, ids, parents, jnt_slots in level:
+            a = cacc[parents]
+            for slot, jtype_int in enumerate(sig):
+                jids = jnt_slots[slot]
+                w = JointType(jtype_int).dof_width
+                idx = s.jnt_dofadr[jids][:, None] + np.arange(w)[None, :]
+                a = a + jnp.einsum("gwi,gw->gi", d.cdof_dot[idx], d.qvel[idx])
+                a = a + jnp.einsum("gwi,gw->gi", d.cdof[idx], d.qacc[idx])
+            cacc = cacc.at[ids].set(a)
+    return d.replace(cacc=cacc)
+
+
+def _contact_forces_world(m: Model, d: Data):
+    """Per-contact-slot (normal_force, world_force) from efc_force.
+
+    Pyramidal rows are n +/- mu_i t_i facets: normal = sum(f), tangent_i =
+    mu_i (f_2i - f_2i+1). Elliptic rows are the cone axes directly."""
+    s = m.skel
+    elliptic = m.opt.cone == int(ConeType.ELLIPTIC)
+    normals = []
+    forces = []
+    for slot in range(s.ncon):
+        adr = int(s.con_efcadr[slot])
+        cdim = int(s.con_dim[slot])
+        frame = d.contact.frame[slot]  # rows: n, t1, t2
+        mu = d.contact.friction[slot]
+        active = d.efc_active[adr]
+        if cdim == 1:
+            fn = d.efc_force[adr]
+            fw = fn * frame[0]
+        elif elliptic:
+            f = d.efc_force[adr : adr + cdim]
+            fn = f[0]
+            fw = frame[0] * fn
+            for i in range(1, min(cdim, 3)):
+                fw = fw + frame[i] * f[i]
+        else:
+            nfacet = 2 * (cdim - 1)
+            f = d.efc_force[adr : adr + nfacet]
+            fn = jnp.sum(f)
+            fw = frame[0] * fn
+            for i in range(min(cdim - 1, 2)):
+                ft = mu[i] * (f[2 * i] - f[2 * i + 1])
+                fw = fw + frame[1 + i] * ft
+        fn = jnp.where(active, fn, 0.0)
+        fw = jnp.where(active, fw, jnp.zeros(3, fw.dtype))
+        normals.append(fn)
+        forces.append(fw)
+    return jnp.stack(normals), jnp.stack(forces)
+
+
+def _cfrc_int(m: Model, d: Data, con_normal, con_force) -> jax.Array:
+    """Interaction force (ang, lin) each body receives through its parent
+    joint (backward pass of mj_rnePostConstraint). External loads included:
+    gravity (via cacc root offset), contacts, xfrc_applied. Equality-
+    constraint reaction forces are not yet included."""
+    s = m.skel
+    sched = tree_schedule(s)
+    dtype = d.qpos.dtype
+    origin_all = d.subtree_com[s.body_rootid]
+
+    iv = jnp.einsum("bij,bj->bi", d.cinert, d.cvel)
+    frc = jnp.einsum("bij,bj->bi", d.cinert, d.cacc) + am.force_cross(d.cvel, iv)
+
+    # applied external forces (world (force, torque) at body com)
+    xang = d.xfrc_applied[:, 3:] + jnp.cross(d.xipos - origin_all, d.xfrc_applied[:, :3])
+    frc = frc - jnp.concatenate([xang, d.xfrc_applied[:, :3]], axis=-1)
+
+    # contact forces: force on geom2's body is +fw at contact pos, on geom1's
+    # body is -fw (normal points from geom1 into geom2 in this engine's
+    # convention; engine/collision.py)
+    b1 = jnp.asarray(s.geom_bodyid)[d.contact.geom1]
+    b2 = jnp.asarray(s.geom_bodyid)[d.contact.geom2]
+    pos = d.contact.pos
+    for sgn, bid in ((1.0, b2), (-1.0, b1)):
+        f_lin = sgn * con_force
+        ang = jnp.cross(pos - origin_all[bid], f_lin)
+        sp = jnp.concatenate([ang, f_lin], axis=-1)
+        frc = frc.at[bid].add(-sp)
+
+    frc = frc.at[0].set(0.0)
+    for child_ids, parent_ids in sched.reverse_levels:
+        keep = parent_ids >= 0
+        if keep.any():
+            frc = frc.at[parent_ids[keep]].add(frc[child_ids[keep]])
+    return frc
+
+
+def _inside_site(m: Model, d: Data, siteid: int, point):
+    """Boolean: world point inside the site volume (touch-sensor zone)."""
+    s = m.skel
+    stype = SiteType(int(s.site_type[siteid]))
+    size = m.site_size[siteid]
+    local = d.site_xmat[siteid].T @ (point - d.site_xpos[siteid])
+    x, y, z = local[0], local[1], local[2]
+    if stype == SiteType.SPHERE:
+        return jnp.sum(local**2) <= size[0] ** 2
+    if stype == SiteType.CAPSULE:
+        zc = jnp.clip(z, -size[1], size[1])
+        return x**2 + y**2 + (z - zc) ** 2 <= size[0] ** 2
+    if stype == SiteType.CYLINDER:
+        return (x**2 + y**2 <= size[0] ** 2) & (jnp.abs(z) <= size[1])
+    if stype == SiteType.ELLIPSOID:
+        return jnp.sum((local / jnp.maximum(size, 1e-12)) ** 2) <= 1.0
+    # BOX
+    return jnp.all(jnp.abs(local) <= size)
+
+
+def _limit_row(s, jntid: int):
+    """efc row index of a joint's limit row, or -1 (static layout)."""
+    where = np.nonzero(s.limit_jntid == jntid)[0]
+    if len(where) == 0:
+        return -1
+    return int(s.ne + s.nf + where[0])
+
+
+def sensors(m: Model, d: Data) -> Data:
+    """Evaluate all sensors into d.sensordata (pos+vel+acc stages)."""
+    s = m.skel
+    if s.nsensor == 0 or (m.opt.disableflags & DisableBit.SENSOR):
+        return d
+    dtype = d.qpos.dtype
+    types = [SensorType(int(t)) for t in s.sensor_type]
+    present = set(types)
+
+    # ---- shared lazy intermediates ----
+    if present & {
+        SensorType.ACCELEROMETER,
+        SensorType.FORCE,
+        SensorType.TORQUE,
+        SensorType.FRAMELINACC,
+        SensorType.FRAMEANGACC,
+    }:
+        d = rne_postconstraint(m, d)
+    con_normal = con_force = None
+    if present & {SensorType.TOUCH, SensorType.FORCE, SensorType.TORQUE}:
+        con_normal, con_force = _contact_forces_world(m, d)
+    cfrc_int = None
+    if present & {SensorType.FORCE, SensorType.TORQUE}:
+        cfrc_int = _cfrc_int(m, d, con_normal, con_force)
+
+    subtree_linvel = subtree_angmom = None
+    if present & {SensorType.SUBTREELINVEL, SensorType.SUBTREEANGMOM}:
+        subtree_linvel, subtree_angmom = _subtree_momentum(m, d)
+
+    out = d.sensordata
+    for i, stype in enumerate(types):
+        objtype = int(s.sensor_objtype[i])
+        objid = int(s.sensor_objid[i])
+        reftype = int(s.sensor_reftype[i])
+        refid = int(s.sensor_refid[i])
+        adr = int(s.sensor_adr[i])
+        dim = int(s.sensor_dim[i])
+        val = _eval_sensor(
+            m,
+            d,
+            stype,
+            objtype,
+            objid,
+            reftype,
+            refid,
+            con_normal=con_normal,
+            cfrc_int=cfrc_int,
+            subtree_linvel=subtree_linvel,
+            subtree_angmom=subtree_angmom,
+        )
+        val = jnp.ravel(jnp.asarray(val, dtype))
+        cutoff = m.sensor_cutoff[i]
+        positive = stype == SensorType.TOUCH
+        clipped = jnp.where(
+            cutoff > 0,
+            jnp.clip(val, 0.0 if positive else -cutoff, cutoff),
+            val,
+        )
+        out = out.at[adr : adr + dim].set(clipped)
+    return d.replace(sensordata=out)
+
+
+def _subtree_momentum(m: Model, d: Data):
+    """Per-body subtree (linvel of com, angmom about subtree com) —
+    mirrors mj_subtreeVel."""
+    s = m.skel
+    sched = tree_schedule(s)
+    origin = d.subtree_com[s.body_rootid]
+    ang = d.cvel[:, :3]
+    lin = d.cvel[:, 3:] + jnp.cross(ang, d.xipos - origin)  # body com velocity
+
+    mass = m.body_mass
+    mom = mass[:, None] * lin
+    mass_acc = mass * jnp.ones((), d.qpos.dtype)
+    mom_acc = mom
+    # subtree com velocity
+    for child_ids, parent_ids in sched.reverse_levels:
+        mass_acc = mass_acc.at[parent_ids].add(mass_acc[child_ids])
+        mom_acc = mom_acc.at[parent_ids].add(mom_acc[child_ids])
+    sub_linvel = mom_acc / jnp.maximum(mass_acc, 1e-12)[:, None]
+
+    # world-frame rotational inertia per body
+    inertia_world = d.ximat @ (m.body_inertia[:, :, None] * jnp.swapaxes(d.ximat, -1, -2))
+    own_ang = jnp.einsum("bij,bj->bi", inertia_world, ang)
+
+    # angular momentum about each subtree's own com: accumulate children,
+    # shifting reference points (parallel-axis) level by level
+    angmom = own_ang + jnp.cross(d.xipos - d.subtree_com, mom)
+    body_mom = mom  # linear momentum of each subtree, accumulated below
+    for child_ids, parent_ids in sched.reverse_levels:
+        shift = jnp.cross(
+            d.subtree_com[child_ids] - d.subtree_com[parent_ids], body_mom[child_ids]
+        )
+        angmom = angmom.at[parent_ids].add(angmom[child_ids] + shift)
+        body_mom = body_mom.at[parent_ids].add(body_mom[child_ids])
+    return sub_linvel, angmom
+
+
+def _eval_sensor(
+    m: Model,
+    d: Data,
+    stype: SensorType,
+    objtype: int,
+    objid: int,
+    reftype: int,
+    refid: int,
+    *,
+    con_normal,
+    cfrc_int,
+    subtree_linvel,
+    subtree_angmom,
+):
+    s = m.skel
+    has_ref = refid >= 0
+
+    if stype == SensorType.CLOCK:
+        return d.time
+    if stype == SensorType.JOINTPOS:
+        return d.qpos[s.jnt_qposadr[objid]]
+    if stype == SensorType.JOINTVEL:
+        return d.qvel[s.jnt_dofadr[objid]]
+    if stype == SensorType.BALLQUAT:
+        qa = s.jnt_qposadr[objid]
+        return am.normalize_quat(d.qpos[qa : qa + 4])
+    if stype == SensorType.BALLANGVEL:
+        da = s.jnt_dofadr[objid]
+        return d.qvel[da : da + 3]
+    if stype == SensorType.ACTUATORPOS:
+        return d.actuator_length[objid]
+    if stype == SensorType.ACTUATORVEL:
+        return d.actuator_velocity[objid]
+    if stype == SensorType.ACTUATORFRC:
+        return d.actuator_force[objid]
+    if stype == SensorType.JOINTACTFRC:
+        return d.qfrc_actuator[s.jnt_dofadr[objid]]
+    if stype in (SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL, SensorType.JOINTLIMITFRC):
+        row = _limit_row(s, objid)
+        if row < 0:
+            return jnp.zeros((), d.qpos.dtype)
+        active = d.efc_active[row]
+        if stype == SensorType.JOINTLIMITPOS:
+            return jnp.where(active, d.efc_pos[row] - d.efc_margin[row], 0.0)
+        if stype == SensorType.JOINTLIMITVEL:
+            return jnp.where(active, d.efc_J[row] @ d.qvel, 0.0)
+        return jnp.where(active, d.efc_force[row], 0.0)
+    if stype == SensorType.MAGNETOMETER:
+        return d.site_xmat[objid].T @ jnp.asarray(m.opt.magnetic, d.qpos.dtype)
+    if stype == SensorType.SUBTREECOM:
+        return d.subtree_com[objid]
+    if stype == SensorType.SUBTREELINVEL:
+        return subtree_linvel[objid]
+    if stype == SensorType.SUBTREEANGMOM:
+        return subtree_angmom[objid]
+    if stype == SensorType.E_POTENTIAL:
+        gravity = jnp.where(m.opt.disableflags & DisableBit.GRAVITY, 0.0, 1.0) * m.opt.gravity
+        pot = -jnp.sum(m.body_mass[:, None] * d.xipos * jnp.asarray(gravity, d.qpos.dtype))
+        # joint springs (hinge/slide); matches engine/smooth.py passive()
+        qdif = d.qpos - m.qpos_spring
+        spring = 0.0
+        for j in range(s.njnt):
+            if JointType(int(s.jnt_type[j])) in (JointType.HINGE, JointType.SLIDE):
+                qa = int(s.jnt_qposadr[j])
+                spring = spring + 0.5 * m.jnt_stiffness[j] * qdif[qa] ** 2
+        return pot + spring
+    if stype == SensorType.E_KINETIC:
+        return 0.5 * d.qvel @ (d.qM @ d.qvel)
+    if stype == SensorType.TOUCH:
+        siteid = objid
+        sbody = int(s.site_bodyid[siteid])
+        b1 = jnp.asarray(s.geom_bodyid)[d.contact.geom1]
+        b2 = jnp.asarray(s.geom_bodyid)[d.contact.geom2]
+        on_body = (b1 == sbody) | (b2 == sbody)
+        inside = jax.vmap(lambda p: _inside_site(m, d, siteid, p))(d.contact.pos)
+        return jnp.sum(jnp.where(on_body & inside, con_normal, 0.0))
+
+    # site-frame inertial sensors
+    if stype == SensorType.VELOCIMETER:
+        bodyid = int(s.site_bodyid[objid])
+        _, lin = _point_vel(m, d, bodyid, d.site_xpos[objid])
+        return d.site_xmat[objid].T @ lin
+    if stype == SensorType.GYRO:
+        bodyid = int(s.site_bodyid[objid])
+        ang, _ = _point_vel(m, d, bodyid, d.site_xpos[objid])
+        return d.site_xmat[objid].T @ ang
+    if stype == SensorType.ACCELEROMETER:
+        bodyid = int(s.site_bodyid[objid])
+        _, lin = _point_acc(m, d, bodyid, d.site_xpos[objid])
+        return d.site_xmat[objid].T @ lin
+    if stype == SensorType.FORCE:
+        bodyid = int(s.site_bodyid[objid])
+        return d.site_xmat[objid].T @ cfrc_int[bodyid, 3:]
+    if stype == SensorType.TORQUE:
+        bodyid = int(s.site_bodyid[objid])
+        origin = d.subtree_com[s.body_rootid[bodyid]]
+        ang = cfrc_int[bodyid, :3]
+        lin = cfrc_int[bodyid, 3:]
+        # torque about the site point
+        t = ang - jnp.cross(d.site_xpos[objid] - origin, lin)
+        return d.site_xmat[objid].T @ t
+
+    # frame sensors
+    pos, mat = _object_pos_mat(m, d, objtype, objid)
+    if has_ref:
+        rpos, rmat = _object_pos_mat(m, d, reftype, refid)
+    if stype == SensorType.FRAMEPOS:
+        return rmat.T @ (pos - rpos) if has_ref else pos
+    if stype == SensorType.FRAMEQUAT:
+        # compose quats directly where the object carries one (body/site/geom)
+        t = ObjType(objtype)
+        if t == ObjType.XBODY:
+            q = d.xquat[objid]
+        elif t == ObjType.BODY:
+            q = am.mul_quat(d.xquat[objid], m.body_iquat[objid])
+        elif t == ObjType.GEOM:
+            q = am.mul_quat(d.xquat[s.geom_bodyid[objid]], m.geom_quat[objid])
+        else:
+            q = am.mul_quat(d.xquat[s.site_bodyid[objid]], m.site_quat[objid])
+        if has_ref:
+            rt = ObjType(reftype)
+            if rt == ObjType.XBODY:
+                rq = d.xquat[refid]
+            elif rt == ObjType.BODY:
+                rq = am.mul_quat(d.xquat[refid], m.body_iquat[refid])
+            elif rt == ObjType.GEOM:
+                rq = am.mul_quat(d.xquat[s.geom_bodyid[refid]], m.geom_quat[refid])
+            else:
+                rq = am.mul_quat(d.xquat[s.site_bodyid[refid]], m.site_quat[refid])
+            q = am.mul_quat(am.neg_quat(rq), q)
+        return am.normalize_quat(q)
+    if stype in (SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS):
+        col = {SensorType.FRAMEXAXIS: 0, SensorType.FRAMEYAXIS: 1, SensorType.FRAMEZAXIS: 2}[stype]
+        axis = mat[:, col]
+        return rmat.T @ axis if has_ref else axis
+    bodyid = _object_bodyid(m, objtype, objid)
+    if stype == SensorType.FRAMELINVEL:
+        _, lin = _point_vel(m, d, bodyid, pos)
+        if has_ref:
+            rbody = _object_bodyid(m, reftype, refid)
+            rang, rlin = _point_vel(m, d, rbody, rpos)
+            return rmat.T @ (lin - rlin - jnp.cross(rang, pos - rpos))
+        return lin
+    if stype == SensorType.FRAMEANGVEL:
+        ang, _ = _point_vel(m, d, bodyid, pos)
+        if has_ref:
+            rbody = _object_bodyid(m, reftype, refid)
+            rang, _ = _point_vel(m, d, rbody, rpos)
+            return rmat.T @ (ang - rang)
+        return ang
+    if stype == SensorType.FRAMELINACC:
+        _, lin = _point_acc(m, d, bodyid, pos)
+        return lin
+    if stype == SensorType.FRAMEANGACC:
+        ang, _ = _point_acc(m, d, bodyid, pos)
+        return ang
+    raise NotImplementedError(f"sensor type {stype}")

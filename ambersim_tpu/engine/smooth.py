@@ -84,6 +84,9 @@ def kinematics(m: Model, d: Data) -> Data:
     bid = s.geom_bodyid
     geom_xpos = xpos[bid] + am.rotate(m.geom_pos, xquat[bid])
     geom_xmat = am.quat_to_mat(am.mul_quat(xquat[bid], m.geom_quat))
+    sbid = s.site_bodyid
+    site_xpos = xpos[sbid] + am.rotate(m.site_pos, xquat[sbid])
+    site_xmat = am.quat_to_mat(am.mul_quat(xquat[sbid], m.site_quat))
 
     return d.replace(
         xpos=xpos,
@@ -94,6 +97,8 @@ def kinematics(m: Model, d: Data) -> Data:
         ximat=ximat,
         geom_xpos=geom_xpos,
         geom_xmat=geom_xmat,
+        site_xpos=site_xpos,
+        site_xmat=site_xmat,
     )
 
 

@@ -23,7 +23,19 @@ from xml.etree import ElementTree as ET
 import numpy as np
 
 # Elements whose attributes participate in the default-class mechanism.
-_DEFAULT_KINDS = ("joint", "geom", "site", "motor", "position", "velocity", "general", "equality", "mesh", "pair")
+_DEFAULT_KINDS = (
+    "joint",
+    "geom",
+    "site",
+    "motor",
+    "position",
+    "velocity",
+    "general",
+    "equality",
+    "mesh",
+    "pair",
+    "tendon",
+)
 
 
 @dataclasses.dataclass
@@ -47,6 +59,18 @@ class BodySpec:
 
 
 @dataclasses.dataclass
+class TendonSpec:
+    """One <tendon><fixed> (or <spatial>) element: attributes + wrap list.
+
+    Each wrap is (kind, target_name, coef) — kind 'joint' for fixed tendons,
+    'site'/'geom' for spatial ones."""
+
+    kind: str
+    attrib: Dict[str, str]
+    wraps: List[Tuple[str, str, float]] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class ModelSpec:
     model_name: str = "model"
     compiler: Dict[str, str] = dataclasses.field(default_factory=dict)
@@ -54,6 +78,8 @@ class ModelSpec:
     flags: Dict[str, str] = dataclasses.field(default_factory=dict)
     bodies: List[BodySpec] = dataclasses.field(default_factory=list)
     actuators: List[ElemSpec] = dataclasses.field(default_factory=list)
+    sensors: List[ElemSpec] = dataclasses.field(default_factory=list)
+    tendons: List["TendonSpec"] = dataclasses.field(default_factory=list)
     equalities: List[ElemSpec] = dataclasses.field(default_factory=list)
     pairs: List[ElemSpec] = dataclasses.field(default_factory=list)
     excludes: List[ElemSpec] = dataclasses.field(default_factory=list)
@@ -213,6 +239,20 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                 spec.equalities.append(
                     ElemSpec(child.tag, defaults.resolve("equality", child.attrib, child.get("class", "main")))
                 )
+        elif sec.tag == "sensor":
+            for child in sec:
+                spec.sensors.append(ElemSpec(child.tag, dict(child.attrib)))
+        elif sec.tag == "tendon":
+            for child in sec:
+                ten = TendonSpec(child.tag, defaults.resolve("tendon", child.attrib, child.get("class", "main")))
+                for sub in child:
+                    if sub.tag == "joint":
+                        ten.wraps.append(("joint", sub.attrib["joint"], float(sub.get("coef", "0"))))
+                    elif sub.tag == "site":
+                        ten.wraps.append(("site", sub.attrib["site"], 0.0))
+                    elif sub.tag == "geom":
+                        ten.wraps.append(("geom", sub.attrib["geom"], 0.0))
+                spec.tendons.append(ten)
         elif sec.tag == "contact":
             for child in sec:
                 if child.tag == "pair":

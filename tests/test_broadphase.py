@@ -47,6 +47,7 @@ def _compile(xml, cap):
     return set_constants(compile_spec(parse_mjcf_string(xml), broadphase_cap=cap))
 
 
+@pytest.mark.slow
 def test_capped_layout_shrinks_capacity():
     xml = _sphere_grid_xml(12)
     m0 = _compile(xml, 0)
@@ -70,6 +71,7 @@ def test_cap_larger_than_groups_is_identity():
     np.testing.assert_array_equal(np.asarray(m0.skel.con_adr), np.asarray(m1.skel.con_adr))
 
 
+@pytest.mark.slow
 def test_capacity_constant_in_object_count():
     """The compile-time guarantee behind sublinear stepping: dynamic-group
     slot count is cap, not O(n^2)."""
@@ -84,6 +86,7 @@ def test_capacity_constant_in_object_count():
     assert caps == [6, 6, 6]
 
 
+@pytest.mark.slow
 def test_topk_selects_colliding_pairs():
     """10 spheres far apart except two overlapping: with cap=2, the
     overlapping pair occupies a slot with the right geom ids and negative

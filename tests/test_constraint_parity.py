@@ -147,6 +147,7 @@ def test_equality_joint_coupling():
         ("coupled_joints", COUPLED_JOINTS, 500, 1e-2),
     ],
 )
+@pytest.mark.slow
 def test_contact_rollout_parity(name, xml, steps, atol):
     """Trajectories through impact + settling must track the C engine."""
     mj_model, model = _pair(xml)
@@ -183,6 +184,7 @@ def test_cg_solver_rollout():
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_plane_cylinder_ellipsoid_drops():
     for geo, ang in (
         ('<geom type="cylinder" size="0.05 0.1"/>', "1.3 0.2 0"),
@@ -203,6 +205,7 @@ def test_plane_cylinder_ellipsoid_drops():
         np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_box_box_stacking():
     """Box-on-box stacking (corner-contact narrowphase) tracks MuJoCo."""
     xml = """<mujoco><option timestep="0.002"/><worldbody>

@@ -9,6 +9,7 @@ from ambersim_tpu import ROOT
 from ambersim_tpu.mjcf.mesh import convex_hull, save_obj, signed_distance
 from ambersim_tpu.utils.conversion_utils import convex_decomposition_file, save_model_xml
 from ambersim_tpu.utils.io_utils import load_model_from_file
+import pytest
 
 
 def test_save_model_xml_roundtrip(tmp_path):
@@ -116,6 +117,7 @@ def test_acd_l_prism(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "l_prism_col_1.obj"))
 
 
+@pytest.mark.slow
 def test_acd_torus():
     verts, faces = make_torus()
     from ambersim_tpu.mjcf.decompose import approximate_convex_decomposition

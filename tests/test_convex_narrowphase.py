@@ -58,6 +58,7 @@ def _active(d):
     return cd[cd < np.asarray(d.contact.includemargin)]
 
 
+@pytest.mark.slow
 def test_box_box_edge_on_depth():
     """45-degree edge resting on a face: depth must match the C engine."""
     mj_model, model = _pair(EDGE_ON)
@@ -74,6 +75,7 @@ def test_box_box_edge_on_depth():
     np.testing.assert_allclose(d.qacc[8], mj_data.qacc[8], rtol=1e-1, atol=2e-1)
 
 
+@pytest.mark.slow
 def test_box_box_edge_on_rollout():
     mj_model, model = _pair(EDGE_ON)
     mj_data = mujoco.MjData(mj_model)
@@ -86,6 +88,7 @@ def test_box_box_edge_on_rollout():
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_box_box_edge_axis_normal():
     """SAT minimum on a true edge-cross axis: normal/depth match the oracle."""
     mj_model, model = _pair(EDGE_AXIS)
@@ -145,6 +148,7 @@ def _hull_xml(tmp_path, dz):
 
 
 @pytest.mark.parametrize("dz", [0.14, 0.12])
+@pytest.mark.slow
 def test_hull_hull_deep_penetration(hull_pair_dir, dz):
     """Hulls interpenetrating up to ~20% of their size: SAT depth and normal
     must match the C engine's (libccd) to high accuracy."""
@@ -182,6 +186,7 @@ def test_hull_hull_deep_penetration(hull_pair_dir, dz):
     assert min(np.linalg.norm(ours_n - c_n), np.linalg.norm(ours_n + c_n)) < 1e-3
 
 
+@pytest.mark.slow
 def test_hull_hull_drop_rollout(hull_pair_dir):
     """Hull lands on hull on the floor: trajectory parity through impact."""
     path = os.path.join(hull_pair_dir, "s.xml")

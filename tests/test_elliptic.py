@@ -42,6 +42,7 @@ def _pair(fr="0.8 0.1 0.01", condim=3, imp=1.0, z=0.049):
 
 
 @pytest.mark.parametrize("condim,imp", [(3, 1.0), (3, 4.0), (4, 1.0), (6, 2.0)])
+@pytest.mark.slow
 def test_efc_rows_match_oracle(condim, imp):
     mj_model, model = _pair(condim=condim, imp=imp)
     mj_data = mujoco.MjData(mj_model)

@@ -7,6 +7,7 @@ import numpy as np
 from ambersim_tpu.rl import get_environment, register_environment
 from ambersim_tpu.rl.pendulum import PendulumSwingupConfig, PendulumSwingupEnv
 from ambersim_tpu.rl.wrappers import wrap_for_training
+import pytest
 
 
 def test_env_reset_step():
@@ -58,6 +59,7 @@ def test_registry():
         pass
 
 
+@pytest.mark.slow
 def test_engine_rollout_matches_step_loop():
     """engine.rollout's minimal-carry scan must equal explicit stepping."""
     from ambersim_tpu.engine import make_data, step

@@ -69,6 +69,7 @@ def test_hull_mass_properties_tetra():
     np.testing.assert_allclose(w, [36.1232, 27.3438, 16.2205], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh_pair_matrix(tmp_path):
     """sphere/capsule/box/mesh vs mesh narrowphase: a mixed pile tracks the C
     engine through its first impacts (0.2 s; later multi-impact chains are

@@ -70,6 +70,7 @@ def test_load_model_path_styles(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_all_packaged_models():
     """Every packaged XML/URDF loads, with and without force_float
     (cf. reference test_model_io.py:49-54)."""
@@ -116,6 +117,7 @@ def test_force_float():
     assert data2.qpos.shape == (8,)
 
 
+@pytest.mark.slow
 def test_urdf_matches_mjcf_dynamics():
     """URDF- and MJCF-compiled pendulums produce the same physics."""
     import jax

@@ -12,6 +12,8 @@ from ambersim_tpu import ROOT
 from ambersim_tpu.engine import make_data, step
 from ambersim_tpu.utils.io_utils import load_model_from_file
 
+pytestmark = pytest.mark.slow
+
 
 def _rollout_pair(name, steps, ctrl_fn=None, atol=2e-2):
     path = f"{ROOT}/models/{name}"

@@ -10,6 +10,7 @@ from ambersim_tpu.io import load_params, save_params
 from ambersim_tpu.rl.pendulum import PendulumSwingupEnv
 from ambersim_tpu.rl.ppo import train
 from ambersim_tpu.rl.ppo import running_statistics
+import pytest
 
 
 def test_running_statistics_matches_numpy():
@@ -24,6 +25,7 @@ def test_running_statistics_matches_numpy():
     np.testing.assert_allclose(np.asarray(normed).mean(0), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ppo_smoke_and_checkpoint(tmp_path):
     """Tiny-budget train run: full pipeline executes, metrics finite,
     policy usable after checkpoint round trip."""
@@ -66,6 +68,7 @@ def test_ppo_smoke_and_checkpoint(tmp_path):
     assert np.all(np.abs(np.asarray(action)) <= 1.0)
 
 
+@pytest.mark.slow
 def test_ppo_checkpoint_resume(tmp_path):
     """Mid-training checkpoint/resume: restored state continues training."""
     env = PendulumSwingupEnv()

@@ -177,6 +177,7 @@ def test_forward_parity(name):
 
 
 @pytest.mark.parametrize("name", list(ALL_MODELS))
+@pytest.mark.slow
 def test_rollout_parity(name):
     """Multi-step trajectory comparison (accumulated error budget)."""
     xml = ALL_MODELS[name]

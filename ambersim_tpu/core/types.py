@@ -348,6 +348,23 @@ class Model:
     # sensors
     sensor_cutoff: jax.Array  # (nsensor,)
 
+    # tendons (fixed tendons: constant joint-space jacobians, precomputed at
+    # compile; lengths are linear in qpos)
+    tendon_J: jax.Array  # (ntendon, nv) d(length)/d(qvel)
+    tendon_Jq: jax.Array  # (ntendon, nq) length = tendon_Jq @ qpos
+    tendon_range: jax.Array  # (ntendon, 2)
+    tendon_stiffness: jax.Array  # (ntendon,)
+    tendon_damping: jax.Array  # (ntendon,)
+    tendon_frictionloss: jax.Array  # (ntendon,)
+    tendon_lengthspring: jax.Array  # (ntendon, 2) deadband spring range
+    tendon_solref_lim: jax.Array  # (ntendon, 2)
+    tendon_solimp_lim: jax.Array  # (ntendon, 5)
+    tendon_solref_fri: jax.Array  # (ntendon, 2)
+    tendon_solimp_fri: jax.Array  # (ntendon, 5)
+    tendon_margin: jax.Array  # (ntendon,)
+    tendon_length0: jax.Array  # (ntendon,) length at qpos0
+    tendon_invweight0: jax.Array  # (ntendon,)
+
     # geoms
     geom_pos: jax.Array  # (ngeom, 3)
     geom_quat: jax.Array  # (ngeom, 4)
@@ -429,6 +446,10 @@ class Model:
     def nsensor(self) -> int:
         return self.skel.nsensor
 
+    @property
+    def ntendon(self) -> int:
+        return self.skel.ntendon
+
 
 @struct.dataclass
 class Data:
@@ -455,6 +476,8 @@ class Data:
     geom_xmat: jax.Array  # (ngeom, 3, 3)
     site_xpos: jax.Array  # (nsite, 3)
     site_xmat: jax.Array  # (nsite, 3, 3)
+    ten_length: jax.Array  # (ntendon,)
+    ten_velocity: jax.Array  # (ntendon,)
 
     # com-based quantities
     subtree_com: jax.Array  # (nbody, 3)

@@ -137,6 +137,29 @@ def make_constraint(m: Model, d: Data) -> Data:
             efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * diag, _MINVAL))
             efc_active = efc_active.at[row].set(active)
             row += 1
+        elif etype == EqType.TENDON:
+            t1, t2 = int(s.eq_obj1id[e]), int(s.eq_obj2id[e])
+            c = m.eq_data[e, :5]
+            dif1 = d.ten_length[t1] - m.tendon_length0[t1]
+            if t2 >= 0:
+                z = d.ten_length[t2] - m.tendon_length0[t2]
+                poly = c[0] + z * (c[1] + z * (c[2] + z * (c[3] + z * c[4])))
+                dpoly = c[1] + z * (2 * c[2] + z * (3 * c[3] + z * 4 * c[4]))
+                pos = dif1 - poly
+                Jrow = m.tendon_J[t1] - dpoly * m.tendon_J[t2]
+                diag = m.tendon_invweight0[t1] + m.tendon_invweight0[t2]
+            else:
+                pos = dif1 - c[0]
+                Jrow = m.tendon_J[t1]
+                diag = m.tendon_invweight0[t1]
+            k, b, imp = _kbi(m, m.eq_solref[e], m.eq_solimp[e], pos)
+            jqvel = Jrow @ d.qvel
+            efc_J = efc_J.at[row].set(Jrow.astype(dtype))
+            efc_pos = efc_pos.at[row].set(pos)
+            efc_aref = efc_aref.at[row].set(-b * jqvel - k * imp * pos)
+            efc_D = efc_D.at[row].set(imp / jnp.maximum((1 - imp) * diag, _MINVAL))
+            efc_active = efc_active.at[row].set(active)
+            row += 1
         elif etype in (EqType.CONNECT, EqType.WELD):
             b1, b2 = int(s.eq_obj1id[e]), int(s.eq_obj2id[e])
             if etype == EqType.CONNECT:
@@ -186,26 +209,43 @@ def make_constraint(m: Model, d: Data) -> Data:
             efc_active = efc_active.at[sl].set(active)
             row += nrow
 
-    # ---------------- dof friction loss (vectorized over rows) ----------------
+    # -------- friction loss: dof rows, then tendon rows (MuJoCo order) --------
     fl_enabled = not (m.opt.disableflags & DisableBit.FRICTIONLOSS)
-    if s.nf:
-        dofs = s.friction_dofid  # static (nf,)
-        rows = np.arange(row, row + s.nf)
-        k, b, imp = _kbi(m, m.dof_solref[dofs], m.dof_solimp[dofs], jnp.zeros((s.nf,), dtype))
+    nfd = len(s.friction_dofid)
+    if nfd:
+        dofs = s.friction_dofid  # static (nfd,)
+        rows = np.arange(row, row + nfd)
+        k, b, imp = _kbi(m, m.dof_solref[dofs], m.dof_solimp[dofs], jnp.zeros((nfd,), dtype))
         efc_J = efc_J.at[rows, dofs].set(1.0)
         efc_aref = efc_aref.at[rows].set(-b * d.qvel[dofs])
         efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[dofs], _MINVAL))
         efc_fl = efc_fl.at[rows].set(m.dof_frictionloss[dofs])
         efc_active = efc_active.at[rows].set(fl_enabled)
-        row += s.nf
+        row += nfd
+    nft = len(getattr(s, "friction_tenid", ()))
+    if nft:
+        tens = s.friction_tenid  # static (nft,)
+        rows = np.arange(row, row + nft)
+        k, b, imp = _kbi(
+            m, m.tendon_solref_fri[tens], m.tendon_solimp_fri[tens], jnp.zeros((nft,), dtype)
+        )
+        efc_J = efc_J.at[rows].set(m.tendon_J[tens].astype(dtype))
+        efc_aref = efc_aref.at[rows].set(-b * d.ten_velocity[tens])
+        efc_D = efc_D.at[rows].set(
+            imp / jnp.maximum((1 - imp) * m.tendon_invweight0[tens], _MINVAL)
+        )
+        efc_fl = efc_fl.at[rows].set(m.tendon_frictionloss[tens])
+        efc_active = efc_active.at[rows].set(fl_enabled)
+        row += nft
 
-    # ---------------- joint limits (vectorized over rows) ----------------
+    # -------- limits: joint rows, then tendon rows (MuJoCo order) --------
     lim_enabled = not (m.opt.disableflags & DisableBit.LIMIT)
-    if s.nl:
-        jids = s.limit_jntid  # static (nl,)
+    nlj = len(s.limit_jntid)
+    if nlj:
+        jids = s.limit_jntid  # static (nlj,)
         qas = s.jnt_qposadr[jids]
         das = s.jnt_dofadr[jids]
-        rows = np.arange(row, row + s.nl)
+        rows = np.arange(row, row + nlj)
         lo, hi = m.jnt_range[jids, 0], m.jnt_range[jids, 1]
         q = d.qpos[qas]
         dist_lo, dist_hi = q - lo, hi - q
@@ -222,7 +262,31 @@ def make_constraint(m: Model, d: Data) -> Data:
         efc_aref = efc_aref.at[rows].set(-b * jqvel - k * imp * pos)
         efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[das], _MINVAL))
         efc_active = efc_active.at[rows].set(lim_enabled & (dist < margin))
-        row += s.nl
+        row += nlj
+    nlt = len(getattr(s, "limit_tenid", ()))
+    if nlt:
+        tens = s.limit_tenid  # static (nlt,)
+        rows = np.arange(row, row + nlt)
+        lo, hi = m.tendon_range[tens, 0], m.tendon_range[tens, 1]
+        L = d.ten_length[tens]
+        dist_lo, dist_hi = L - lo, hi - L
+        lower = dist_lo < dist_hi
+        dist = jnp.where(lower, dist_lo, dist_hi)
+        sign = jnp.where(lower, 1.0, -1.0)
+        margin = m.tendon_margin[tens]
+        pos = dist - margin
+        k, b, imp = _kbi(m, m.tendon_solref_lim[tens], m.tendon_solimp_lim[tens], pos)
+        rows_J = sign[:, None] * m.tendon_J[tens].astype(dtype)
+        jqvel = rows_J @ d.qvel
+        efc_J = efc_J.at[rows].set(rows_J)
+        efc_pos = efc_pos.at[rows].set(pos)
+        efc_margin = efc_margin.at[rows].set(margin)
+        efc_aref = efc_aref.at[rows].set(-b * jqvel - k * imp * pos)
+        efc_D = efc_D.at[rows].set(
+            imp / jnp.maximum((1 - imp) * m.tendon_invweight0[tens], _MINVAL)
+        )
+        efc_active = efc_active.at[rows].set(lim_enabled & (dist < margin))
+        row += nlt
 
     # ---------------- contacts (pyramidal, vectorized per condim group) -----
     con_enabled = not (m.opt.disableflags & DisableBit.CONTACT)

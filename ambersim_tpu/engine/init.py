@@ -42,6 +42,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.ngeom, 1, 1)),
         site_xpos=z(s.nsite, 3),
         site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nsite, 1, 1)),
+        ten_length=z(s.ntendon),
+        ten_velocity=z(s.ntendon),
         subtree_com=z(s.nbody, 3),
         cinert=z(s.nbody, 6, 6),
         cdof=z(s.nv, 6),

@@ -37,6 +37,7 @@ from ambersim_tpu.engine.schedule import tree_schedule
 _POS = {
     SensorType.MAGNETOMETER,
     SensorType.JOINTPOS,
+    SensorType.TENDONPOS,
     SensorType.ACTUATORPOS,
     SensorType.BALLQUAT,
     SensorType.JOINTLIMITPOS,
@@ -53,6 +54,7 @@ _VEL = {
     SensorType.VELOCIMETER,
     SensorType.GYRO,
     SensorType.JOINTVEL,
+    SensorType.TENDONVEL,
     SensorType.ACTUATORVEL,
     SensorType.BALLANGVEL,
     SensorType.JOINTLIMITVEL,
@@ -369,6 +371,10 @@ def _eval_sensor(
         return d.qpos[s.jnt_qposadr[objid]]
     if stype == SensorType.JOINTVEL:
         return d.qvel[s.jnt_dofadr[objid]]
+    if stype == SensorType.TENDONPOS:
+        return d.ten_length[objid]
+    if stype == SensorType.TENDONVEL:
+        return d.ten_velocity[objid]
     if stype == SensorType.BALLQUAT:
         qa = s.jnt_qposadr[objid]
         return am.normalize_quat(d.qpos[qa : qa + 4])

@@ -46,7 +46,13 @@ def set_constants(model: Model) -> Model:
         a = jac @ minv_np @ jac.T
         body_inv[b, 0] = (a[3, 3] + a[4, 4] + a[5, 5]) / 3.0  # translation
         body_inv[b, 1] = (a[0, 0] + a[1, 1] + a[2, 2]) / 3.0  # rotation
-    return model.replace(
+    updates = dict(
         dof_invweight0=np.asarray(dof_invweight0, np.float32),
         body_invweight0=body_inv,
     )
+    if s.ntendon:
+        tj = np.asarray(model.tendon_J, np.float64)  # (ntendon, nv)
+        updates["tendon_invweight0"] = np.asarray(
+            np.einsum("ti,ij,tj->t", tj, minv_np, tj), np.float32
+        )
+    return model.replace(**updates)

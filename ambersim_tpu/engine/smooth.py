@@ -22,7 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ambersim_tpu.core import math as am
-from ambersim_tpu.core.types import BiasType, Data, DisableBit, DynType, GainType, JointType, Model
+from ambersim_tpu.core.types import (
+    BiasType,
+    Data,
+    DisableBit,
+    DynType,
+    GainType,
+    JointType,
+    Model,
+    TrnType,
+)
 from ambersim_tpu.engine.schedule import tree_schedule
 
 
@@ -293,6 +302,15 @@ def passive(m: Model, d: Data) -> Data:
             idx_r = da[:, None] + (3 + np.arange(3))[None, :]
             spring = spring.at[idx_r].add(-k[:, None] * dif)
     damper = -m.dof_damping * d.qvel
+    if s.ntendon:
+        # deadband spring (MuJoCo 3 springlength range semantics) + damper
+        lo, hi = m.tendon_lengthspring[:, 0], m.tendon_lengthspring[:, 1]
+        dif = jnp.where(d.ten_length < lo, d.ten_length - lo, 0.0) + jnp.where(
+            d.ten_length > hi, d.ten_length - hi, 0.0
+        )
+        ten_frc = -m.tendon_stiffness * dif
+        spring = spring + m.tendon_J.T @ ten_frc
+        damper = damper + m.tendon_J.T @ (-m.tendon_damping * d.ten_velocity)
     qfrc_passive = spring + damper
     if m.opt.disableflags & DisableBit.PASSIVE:
         qfrc_passive = jnp.zeros_like(qfrc_passive)
@@ -305,13 +323,19 @@ _MOMENT_CACHE: dict = {}
 
 
 def _joint_trn_arrays(s):
-    """Static helpers for joint-transmission actuators: (act ids on hinge/slide,
-    their dof addrs, qpos addrs)."""
+    """Static helpers for actuator transmissions: (act ids on hinge/slide
+    joints, their dof addrs, qpos addrs, other-joint act ids, tendon act ids,
+    their tendon ids)."""
     key = (s, "trn")
     if key not in _MOMENT_CACHE:
         scalar_u, scalar_dof, scalar_qa = [], [], []
         other_u = []
+        tendon_u, tendon_id = [], []
         for u in range(s.nu):
+            if int(s.actuator_trntype[u]) == int(TrnType.TENDON):
+                tendon_u.append(u)
+                tendon_id.append(int(s.actuator_trnid[u]))
+                continue
             j = int(s.actuator_trnid[u])
             jtype = JointType(int(s.jnt_type[j]))
             if jtype in (JointType.HINGE, JointType.SLIDE):
@@ -325,15 +349,17 @@ def _joint_trn_arrays(s):
             np.asarray(scalar_dof, dtype=np.int32),
             np.asarray(scalar_qa, dtype=np.int32),
             np.asarray(other_u, dtype=np.int32),
+            np.asarray(tendon_u, dtype=np.int32),
+            np.asarray(tendon_id, dtype=np.int32),
         )
     return _MOMENT_CACHE[key]
 
 
 def actuator_moment(m: Model, d: Data) -> jax.Array:
-    """(nu, nv) transmission moment matrix (joint transmissions)."""
+    """(nu, nv) transmission moment matrix (joint + tendon transmissions)."""
     s = m.skel
     moment = jnp.zeros((s.nu, s.nv), d.qpos.dtype)
-    scalar_u, scalar_dof, _, other_u = _joint_trn_arrays(s)
+    scalar_u, scalar_dof, _, other_u, tendon_u, tendon_id = _joint_trn_arrays(s)
     if len(scalar_u):
         moment = moment.at[scalar_u, scalar_dof].set(m.actuator_gear[scalar_u, 0])
     for u in other_u:  # free/ball transmissions (rare): gear vector on the joint dofs
@@ -342,6 +368,10 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
         jtype = JointType(int(s.jnt_type[j]))
         width = jtype.dof_width if jtype == JointType.FREE else 3
         moment = moment.at[u, da : da + width].set(m.actuator_gear[u, :width])
+    if len(tendon_u):  # tendon moment = gear0 * d(length)/d(qvel)
+        moment = moment.at[tendon_u].set(
+            m.actuator_gear[tendon_u, 0, None] * m.tendon_J[tendon_id]
+        )
     return moment
 
 
@@ -375,10 +405,12 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
     ctrl = clamped_ctrl(m, d)
 
-    scalar_u, scalar_dof, scalar_qa, _ = _joint_trn_arrays(s)
+    scalar_u, scalar_dof, scalar_qa, _, tendon_u, tendon_id = _joint_trn_arrays(s)
     length = jnp.zeros(s.nu, dtype)
     if len(scalar_u):
         length = length.at[scalar_u].set(d.qpos[scalar_qa] * m.actuator_gear[scalar_u, 0])
+    if len(tendon_u):
+        length = length.at[tendon_u].set(d.ten_length[tendon_id] * m.actuator_gear[tendon_u, 0])
     moment = actuator_moment(m, d)
     velocity = moment @ d.qvel
 
@@ -461,15 +493,25 @@ def _body_dof_support(s):
     return _SUPPORT_CACHE[key]
 
 
+def tendon(m: Model, d: Data) -> Data:
+    """Fixed-tendon lengths (linear in qpos; constant jacobian in Model)."""
+    if m.skel.ntendon == 0:
+        return d
+    return d.replace(ten_length=m.tendon_Jq @ d.qpos)
+
+
 def fwd_position_smooth(m: Model, d: Data) -> Data:
     d = kinematics(m, d)
     d = com_pos(m, d)
+    d = tendon(m, d)
     d = crb(m, d)
     d = factor_m(m, d)
     return d
 
 
 def fwd_velocity(m: Model, d: Data) -> Data:
+    if m.skel.ntendon:
+        d = d.replace(ten_velocity=m.tendon_J @ d.qvel)
     d = com_vel(m, d)
     d = passive(m, d)
     d = rne(m, d)

@@ -55,6 +55,19 @@ def spec_to_xml(spec: ModelSpec) -> str:
         act = ET.SubElement(root, "actuator")
         for a in spec.actuators:
             ET.SubElement(act, a.kind, dict(a.attrib))
+    if spec.tendons:
+        ten = ET.SubElement(root, "tendon")
+        for t in spec.tendons:
+            te = ET.SubElement(ten, t.kind, dict(t.attrib))
+            for kind, target, coef in t.wraps:
+                wrap_at = {kind: target}
+                if kind == "joint":
+                    wrap_at["coef"] = repr(coef)
+                ET.SubElement(te, kind, wrap_at)
+    if spec.sensors:
+        sen = ET.SubElement(root, "sensor")
+        for sp in spec.sensors:
+            ET.SubElement(sen, sp.kind, dict(sp.attrib))
     if spec.equalities:
         eq = ET.SubElement(root, "equality")
         for e in spec.equalities:

@@ -91,6 +91,8 @@ class _ChainModel:
         s = model.skel
         if any(int(t) not in _SUPPORTED_JNT for t in s.jnt_type):
             raise NotImplementedError("HostStepper supports free/hinge/slide joints only")
+        if getattr(s, "ntendon", 0):
+            raise NotImplementedError("HostStepper does not support tendons")
         for b in range(1, s.nbody):
             if int(s.body_jntnum[b]) > 1:
                 raise NotImplementedError("HostStepper requires at most one joint per body")

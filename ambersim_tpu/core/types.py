@@ -478,6 +478,8 @@ class Data:
     site_xmat: jax.Array  # (nsite, 3, 3)
     ten_length: jax.Array  # (ntendon,)
     ten_velocity: jax.Array  # (ntendon,)
+    ten_J: jax.Array  # (ntendon, nv) d(length)/d(qvel); constant rows for fixed
+    # tendons, runtime site/wrap-geometry rows for spatial tendons
 
     # com-based quantities
     subtree_com: jax.Array  # (nbody, 3)

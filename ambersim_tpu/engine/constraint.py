@@ -146,11 +146,11 @@ def make_constraint(m: Model, d: Data) -> Data:
                 poly = c[0] + z * (c[1] + z * (c[2] + z * (c[3] + z * c[4])))
                 dpoly = c[1] + z * (2 * c[2] + z * (3 * c[3] + z * 4 * c[4]))
                 pos = dif1 - poly
-                Jrow = m.tendon_J[t1] - dpoly * m.tendon_J[t2]
+                Jrow = d.ten_J[t1] - dpoly * d.ten_J[t2]
                 diag = m.tendon_invweight0[t1] + m.tendon_invweight0[t2]
             else:
                 pos = dif1 - c[0]
-                Jrow = m.tendon_J[t1]
+                Jrow = d.ten_J[t1]
                 diag = m.tendon_invweight0[t1]
             k, b, imp = _kbi(m, m.eq_solref[e], m.eq_solimp[e], pos)
             jqvel = Jrow @ d.qvel
@@ -229,7 +229,7 @@ def make_constraint(m: Model, d: Data) -> Data:
         k, b, imp = _kbi(
             m, m.tendon_solref_fri[tens], m.tendon_solimp_fri[tens], jnp.zeros((nft,), dtype)
         )
-        efc_J = efc_J.at[rows].set(m.tendon_J[tens].astype(dtype))
+        efc_J = efc_J.at[rows].set(d.ten_J[tens].astype(dtype))
         efc_aref = efc_aref.at[rows].set(-b * d.ten_velocity[tens])
         efc_D = efc_D.at[rows].set(
             imp / jnp.maximum((1 - imp) * m.tendon_invweight0[tens], _MINVAL)
@@ -276,7 +276,7 @@ def make_constraint(m: Model, d: Data) -> Data:
         margin = m.tendon_margin[tens]
         pos = dist - margin
         k, b, imp = _kbi(m, m.tendon_solref_lim[tens], m.tendon_solimp_lim[tens], pos)
-        rows_J = sign[:, None] * m.tendon_J[tens].astype(dtype)
+        rows_J = sign[:, None] * d.ten_J[tens].astype(dtype)
         jqvel = rows_J @ d.qvel
         efc_J = efc_J.at[rows].set(rows_J)
         efc_pos = efc_pos.at[rows].set(pos)

@@ -44,6 +44,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nsite, 1, 1)),
         ten_length=z(s.ntendon),
         ten_velocity=z(s.ntendon),
+        ten_J=z(s.ntendon, s.nv),
         subtree_com=z(s.nbody, 3),
         cinert=z(s.nbody, 6, 6),
         cdof=z(s.nv, 6),

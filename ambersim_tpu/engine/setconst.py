@@ -51,8 +51,17 @@ def set_constants(model: Model) -> Model:
         body_invweight0=body_inv,
     )
     if s.ntendon:
-        tj = np.asarray(model.tendon_J, np.float64)  # (ntendon, nv)
+        # runtime jacobian at qpos0 covers both fixed (constant) and spatial
+        # (site/wrap geometry) rows
+        tj = np.asarray(d.ten_J, np.float64)  # (ntendon, nv)
         updates["tendon_invweight0"] = np.asarray(
             np.einsum("ti,ij,tj->t", tj, minv_np, tj), np.float32
         )
+        length0 = np.asarray(d.ten_length, np.float32)
+        updates["tendon_length0"] = length0
+        ls = np.array(model.tendon_lengthspring, np.float32)
+        nan_rows = np.isnan(ls).any(axis=1)  # spatial default springlength
+        if nan_rows.any():
+            ls[nan_rows] = length0[nan_rows, None]
+            updates["tendon_lengthspring"] = ls
     return model.replace(**updates)

@@ -309,8 +309,8 @@ def passive(m: Model, d: Data) -> Data:
             d.ten_length > hi, d.ten_length - hi, 0.0
         )
         ten_frc = -m.tendon_stiffness * dif
-        spring = spring + m.tendon_J.T @ ten_frc
-        damper = damper + m.tendon_J.T @ (-m.tendon_damping * d.ten_velocity)
+        spring = spring + d.ten_J.T @ ten_frc
+        damper = damper + d.ten_J.T @ (-m.tendon_damping * d.ten_velocity)
     qfrc_passive = spring + damper
     if m.opt.disableflags & DisableBit.PASSIVE:
         qfrc_passive = jnp.zeros_like(qfrc_passive)
@@ -370,7 +370,7 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
         moment = moment.at[u, da : da + width].set(m.actuator_gear[u, :width])
     if len(tendon_u):  # tendon moment = gear0 * d(length)/d(qvel)
         moment = moment.at[tendon_u].set(
-            m.actuator_gear[tendon_u, 0, None] * m.tendon_J[tendon_id]
+            m.actuator_gear[tendon_u, 0, None] * d.ten_J[tendon_id].astype(moment.dtype)
         )
     return moment
 
@@ -493,11 +493,185 @@ def _body_dof_support(s):
     return _SUPPORT_CACHE[key]
 
 
+def _site_point_jac(m: Model, d: Data, p: jax.Array, bodyid: int) -> jax.Array:
+    """(nv, 3) translational jacobian of world point p attached to body bodyid."""
+    s = m.skel
+    sup = _body_dof_support(s)[bodyid]  # (nv,) static
+    origin = d.subtree_com[s.body_rootid[s.dof_bodyid]]  # (nv, 3)
+    ang, lin = d.cdof[:, :3], d.cdof[:, 3:]
+    return (lin + jnp.cross(ang, p[None] - origin)) * jnp.asarray(sup, d.qpos.dtype)[:, None]
+
+
+def _straight_seg(m: Model, d: Data, p1, b1, p2, b2):
+    """Length + (nv,) jacobian row of a straight tendon segment."""
+    v = p2 - p1
+    ln = jnp.linalg.norm(v)
+    u = v / jnp.maximum(ln, 1e-12)
+    djac = _site_point_jac(m, d, p2, b2) - _site_point_jac(m, d, p1, b1)
+    return ln, djac @ u
+
+
+def _wrap_seg(m: Model, d: Data, p1, b1, p2, b2, gid: int, side_sid: int):
+    """Tendon segment wrapping a sphere/cylinder geom (cf. mju_wrap).
+
+    Branchless: computes both the wrapped (tangent-arc-tangent) and straight
+    paths and selects by the wrap condition. Tangent points are material
+    points on the wrap geom's body; by the taut-string envelope argument the
+    jacobian is the two straight end segments' only (the arc contributes no
+    independent term)."""
+    from ambersim_tpu.core.types import GeomType
+
+    s = m.skel
+    dtype = d.qpos.dtype
+    R = d.geom_xmat[gid]  # world <- local
+    c = d.geom_xpos[gid]
+    bg = int(s.geom_bodyid[gid])
+    r = m.geom_size[gid, 0]
+    a = R.T @ (p1 - c)
+    b = R.T @ (p2 - c)
+    is_cyl = int(s.geom_type[gid]) == int(GeomType.CYLINDER)
+
+    eps = jnp.asarray(1e-12, dtype)
+    if is_cyl:
+        # 2D circle problem in the plane perpendicular to the cylinder axis
+        A3, B3 = a.at[2].set(0.0), b.at[2].set(0.0)
+        e1 = A3 / jnp.maximum(jnp.linalg.norm(A3), eps)
+        axis = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        perp = jnp.cross(axis, e1)
+        sigma = jnp.where(B3 @ perp >= 0, 1.0, -1.0)
+        e2 = sigma * perp  # so B has nonnegative e2 component
+        A2 = jnp.array([A3 @ e1, 0.0])
+        B2 = jnp.array([B3 @ e1, B3 @ e2])
+    else:
+        # sphere: 2D problem in the plane through a, b and the center
+        e1 = a / jnp.maximum(jnp.linalg.norm(a), eps)
+        borth = b - (b @ e1) * e1
+        e2 = borth / jnp.maximum(jnp.linalg.norm(borth), eps)
+        A2 = jnp.array([a @ e1, 0.0])
+        B2 = jnp.array([b @ e1, b @ e2])
+
+    la = jnp.maximum(jnp.linalg.norm(A2), eps)
+    lb = jnp.maximum(jnp.linalg.norm(B2), eps)
+    phi = jnp.arccos(jnp.clip((A2 @ B2) / (la * lb), -1.0, 1.0))  # [0, pi]
+
+    # wrap side: the taut path must pass the circle on the sidesite's side of
+    # the center. The short-way tangent path lies on the same side of the
+    # center as the chord itself, so a sidesite across the chord from the
+    # center forces the long way around (oracle-pinned vs mju_wrap wrap_xpos)
+    if side_sid >= 0:
+        ss = R.T @ (d.site_xpos[side_sid] - c)
+        S2 = (
+            jnp.array([ss.at[2].set(0.0) @ e1, ss.at[2].set(0.0) @ e2])
+            if is_cyl
+            else jnp.array([ss @ e1, ss @ e2])
+        )
+        chord = B2 - A2
+        nvec = jnp.array([-chord[1], chord[0]])
+        nvec = nvec / jnp.maximum(jnp.linalg.norm(nvec), eps)
+        h_line = nvec @ A2  # chord offset from the center
+        h_side = nvec @ S2  # sidesite offset from the center
+        sgn = jnp.where(h_line * h_side >= 0, 1.0, -1.0)
+    else:
+        sgn = jnp.asarray(1.0, dtype)
+    big_phi = jnp.where(sgn > 0, phi, 2.0 * jnp.pi - phi)
+
+    alpha_a = jnp.arccos(jnp.clip(r / la, -1.0, 1.0))
+    alpha_b = jnp.arccos(jnp.clip(r / lb, -1.0, 1.0))
+    # wrap iff the tangent construction on the chosen side has a nonnegative
+    # arc: without a sidesite (big_phi = phi) that is exactly "the straight
+    # chord crosses the circle"; a sidesite on the far side of the chord
+    # forces big_phi = 2*pi - phi, wrapping the long way around (mju_wrap
+    # semantics, pinned by the oracle's wrap_xpos path)
+    wrapped = (big_phi > alpha_a + alpha_b) & (la > r) & (lb > r)
+    arc_ang = jnp.maximum(big_phi - alpha_a - alpha_b, 0.0)
+
+    t1_ang = sgn * alpha_a
+    t2_ang = phi - sgn * alpha_b
+    if is_cyl:
+        T1_2d = r * jnp.array([jnp.cos(t1_ang), jnp.sin(t1_ang)])
+        T2_2d = r * jnp.array([jnp.cos(t2_ang), jnp.sin(t2_ang)])
+        len_a2 = jnp.sqrt(jnp.maximum(la * la - r * r, eps))
+        len_b2 = jnp.sqrt(jnp.maximum(lb * lb - r * r, eps))
+        arc2 = r * arc_ang
+        tot2 = jnp.maximum(len_a2 + arc2 + len_b2, eps)
+        z1 = a[2] + (b[2] - a[2]) * len_a2 / tot2
+        z2 = a[2] + (b[2] - a[2]) * (len_a2 + arc2) / tot2
+        T1 = T1_2d[0] * e1 + T1_2d[1] * e2 + z1 * jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+        T2 = T2_2d[0] * e1 + T2_2d[1] * e2 + z2 * jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+        arc_len = jnp.sqrt(arc2 * arc2 + (z2 - z1) ** 2)
+        L_wrap = (
+            jnp.sqrt(len_a2 * len_a2 + (z1 - a[2]) ** 2)
+            + arc_len
+            + jnp.sqrt(len_b2 * len_b2 + (b[2] - z2) ** 2)
+        )
+    else:
+        T1 = r * (jnp.cos(t1_ang) * e1 + jnp.sin(t1_ang) * e2)
+        T2 = r * (jnp.cos(t2_ang) * e1 + jnp.sin(t2_ang) * e2)
+        L_wrap = (
+            jnp.sqrt(jnp.maximum(la * la - r * r, eps))
+            + r * arc_ang
+            + jnp.sqrt(jnp.maximum(lb * lb - r * r, eps))
+        )
+
+    T1w = c + R @ T1
+    T2w = c + R @ T2
+    l1, j1 = _straight_seg(m, d, p1, b1, T1w, bg)
+    l2, j2 = _straight_seg(m, d, T2w, bg, p2, b2)
+    del l1, l2  # wrapped length uses the closed-form L_wrap above
+    L_str, J_str = _straight_seg(m, d, p1, b1, p2, b2)
+    L = jnp.where(wrapped, L_wrap, L_str)
+    J = jnp.where(wrapped, j1 + j2, J_str)
+    return L, J
+
+
+def _spatial_tendon(m: Model, d: Data, path):
+    """Length + (nv,) jacobian of one spatial tendon (static path unroll)."""
+    s = m.skel
+    dtype = d.qpos.dtype
+    L = jnp.zeros((), dtype)
+    J = jnp.zeros((s.nv,), dtype)
+    div = 1.0
+    prev = None  # (world point, bodyid)
+    pending_geom = None
+    for el in path:
+        if el[0] == "pulley":
+            div = el[1]
+            prev = None
+            pending_geom = None
+        elif el[0] == "geom":
+            pending_geom = (el[1], el[2])
+        else:  # site
+            sid = el[1]
+            p = d.site_xpos[sid]
+            b = int(s.site_bodyid[sid])
+            if prev is not None:
+                if pending_geom is None:
+                    dL, dJ = _straight_seg(m, d, prev[0], prev[1], p, b)
+                else:
+                    dL, dJ = _wrap_seg(m, d, prev[0], prev[1], p, b, *pending_geom)
+                L = L + dL / div
+                J = J + dJ / div
+                pending_geom = None
+            prev = (p, b)
+    return L, J
+
+
 def tendon(m: Model, d: Data) -> Data:
-    """Fixed-tendon lengths (linear in qpos; constant jacobian in Model)."""
-    if m.skel.ntendon == 0:
+    """Tendon lengths + jacobians. Fixed tendons are linear in qpos with the
+    compile-time jacobian; spatial tendons run the site/wrap path geometry."""
+    s = m.skel
+    if s.ntendon == 0:
         return d
-    return d.replace(ten_length=m.tendon_Jq @ d.qpos)
+    dtype = d.qpos.dtype
+    ten_length = (m.tendon_Jq @ d.qpos).astype(dtype)
+    ten_J = jnp.asarray(m.tendon_J, dtype)
+    for t in range(s.ntendon):
+        if s.tendon_kind[t] != "spatial":
+            continue
+        L, Jrow = _spatial_tendon(m, d, s.tendon_path[t])
+        ten_length = ten_length.at[t].set(L)
+        ten_J = ten_J.at[t].set(Jrow)
+    return d.replace(ten_length=ten_length, ten_J=ten_J)
 
 
 def fwd_position_smooth(m: Model, d: Data) -> Data:
@@ -511,7 +685,7 @@ def fwd_position_smooth(m: Model, d: Data) -> Data:
 
 def fwd_velocity(m: Model, d: Data) -> Data:
     if m.skel.ntendon:
-        d = d.replace(ten_velocity=m.tendon_J @ d.qvel)
+        d = d.replace(ten_velocity=d.ten_J @ d.qvel)
     d = com_vel(m, d)
     d = passive(m, d)
     d = rne(m, d)

@@ -59,10 +59,17 @@ def spec_to_xml(spec: ModelSpec) -> str:
         ten = ET.SubElement(root, "tendon")
         for t in spec.tendons:
             te = ET.SubElement(ten, t.kind, dict(t.attrib))
-            for kind, target, coef in t.wraps:
-                wrap_at = {kind: target}
+            for kind, target, aux in t.wraps:
                 if kind == "joint":
-                    wrap_at["coef"] = repr(coef)
+                    wrap_at = {"joint": target, "coef": repr(aux)}
+                elif kind == "geom":
+                    wrap_at = {"geom": target}
+                    if aux:
+                        wrap_at["sidesite"] = aux
+                elif kind == "pulley":
+                    wrap_at = {"divisor": repr(aux)}
+                else:
+                    wrap_at = {kind: target}
                 ET.SubElement(te, kind, wrap_at)
     if spec.sensors:
         sen = ET.SubElement(root, "sensor")

@@ -251,7 +251,10 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                     elif sub.tag == "site":
                         ten.wraps.append(("site", sub.attrib["site"], 0.0))
                     elif sub.tag == "geom":
-                        ten.wraps.append(("geom", sub.attrib["geom"], 0.0))
+                        # aux carries the optional sidesite name ("" if absent)
+                        ten.wraps.append(("geom", sub.attrib["geom"], sub.get("sidesite", "")))
+                    elif sub.tag == "pulley":
+                        ten.wraps.append(("pulley", "", float(sub.attrib["divisor"])))
                 spec.tendons.append(ten)
         elif sec.tag == "contact":
             for child in sec:

@@ -111,16 +111,19 @@ class DynType(enum.IntEnum):
     INTEGRATOR = 1
     FILTER = 2
     FILTEREXACT = 3
+    MUSCLE = 4
 
 
 class GainType(enum.IntEnum):
     FIXED = 0
     AFFINE = 1
+    MUSCLE = 2
 
 
 class BiasType(enum.IntEnum):
     NONE = 0
     AFFINE = 1
+    MUSCLE = 2
 
 
 class SensorType(enum.IntEnum):
@@ -385,6 +388,9 @@ class Model:
     actuator_gainprm: jax.Array  # (nu, 9)
     actuator_biasprm: jax.Array  # (nu, 9)
     actuator_dynprm: jax.Array  # (nu, 9)
+    actuator_actrange: jax.Array  # (nu, 2) activation clamp (intvelocity/muscle)
+    actuator_lengthrange: jax.Array  # (nu, 2) transmission length range (muscle)
+    actuator_acc0: jax.Array  # (nu,) |M^-1 moment| at qpos0 (muscle force scaling)
 
     # equality constraints
     eq_data: jax.Array  # (neq, 11)

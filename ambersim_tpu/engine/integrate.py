@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ambersim_tpu.core import math as am
 from ambersim_tpu.core.types import Data, DisableBit, JointType, Model
@@ -51,10 +52,29 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
 
 
 def _advance_act(m: Model, d: Data, h) -> Data:
-    """Integrate actuator activations (dyntype filter/integrator)."""
-    if m.skel.na == 0:
+    """Integrate actuator activations (dyntype filter/integrator/muscle):
+    Euler on act_dot, exact exponential for FILTEREXACT, actrange clamping
+    for act-limited actuators (cf. mj_advance)."""
+    from ambersim_tpu.core.types import DynType
+
+    s = m.skel
+    if s.na == 0:
         return d
-    return d.replace(act=d.act + h * d.act_dot)
+    act = d.act + h * d.act_dot
+    dyn_u = np.nonzero(s.actuator_dyntype != int(DynType.NONE))[0]
+    if bool((s.actuator_dyntype[dyn_u] == int(DynType.FILTEREXACT)).any()):
+        tau = jnp.maximum(m.actuator_dynprm[dyn_u, 0], 1e-8)
+        exact = d.act + d.act_dot * tau * (1.0 - jnp.exp(-h / tau))
+        act = jnp.where(
+            jnp.asarray(s.actuator_dyntype[dyn_u] == int(DynType.FILTEREXACT)), exact, act
+        )
+    if bool(s.actuator_actlimited[dyn_u].any()):
+        lo = m.actuator_actrange[dyn_u, 0]
+        hi = m.actuator_actrange[dyn_u, 1]
+        act = jnp.where(
+            jnp.asarray(s.actuator_actlimited[dyn_u]), jnp.clip(act, lo, hi), act
+        )
+    return d.replace(act=act)
 
 
 def _qderiv_vel(m: Model, d: Data) -> jax.Array:
@@ -74,12 +94,15 @@ def _qderiv_vel(m: Model, d: Data) -> jax.Array:
     s = m.skel
     dtype = d.qpos.dtype
     D = -jnp.diag(jnp.asarray(m.dof_damping, dtype))
+    if s.ntendon:
+        tj = d.ten_J.astype(dtype)
+        D = D - tj.T @ (jnp.asarray(m.tendon_damping, dtype)[:, None] * tj)
     if s.nu and not (m.opt.disableflags & DB.ACTUATION):
         moment = smooth.actuator_moment(m, d)  # (nu, nv)
         inp = smooth.act_input(m, d)
         gaintype = jnp.asarray(s.actuator_gaintype)
         biastype = jnp.asarray(s.actuator_biastype)
-        dgain = jnp.where(gaintype != int(GainType.FIXED), m.actuator_gainprm[:, 2], 0.0) * inp
+        dgain = jnp.where(gaintype == int(GainType.AFFINE), m.actuator_gainprm[:, 2], 0.0) * inp
         dbias = jnp.where(biastype == int(BiasType.AFFINE), m.actuator_biasprm[:, 2], 0.0)
         dfv = dgain + dbias  # (nu,)
         D = D + moment.T @ (dfv[:, None] * moment)

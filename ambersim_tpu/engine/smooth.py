@@ -396,6 +396,81 @@ def act_input(m: Model, d: Data) -> jax.Array:
     return inp
 
 
+_EPS_MUSCLE = 1e-10
+
+
+def muscle_gain_bias(m: Model, length: jax.Array, velocity: jax.Array):
+    """Vectorized FLV muscle curves (mju_muscleGain / mju_muscleBias).
+
+    Formulas oracle-pinned against mujoco.mju_muscleGain/Bias over a
+    length/velocity grid (tests/test_muscle.py). Returns (gain, bias) rows for
+    every actuator; callers select the MUSCLE-typed ones."""
+    prm = m.actuator_gainprm  # (nu, 9); biasprm == gainprm for muscles
+    LR = m.actuator_lengthrange
+    r0, r1, force, scale, lmin, lmax, vmax, fpmax, fvmax = (prm[:, i] for i in range(9))
+    force = jnp.where(force < 0, scale / jnp.maximum(m.actuator_acc0, _EPS_MUSCLE), force)
+    L0 = (LR[:, 1] - LR[:, 0]) / jnp.maximum(r1 - r0, _EPS_MUSCLE)
+    L = r0 + (length - LR[:, 0]) / jnp.maximum(L0, _EPS_MUSCLE)
+    V = velocity / jnp.maximum(L0 * vmax, _EPS_MUSCLE)
+
+    # active force-length: piecewise-quadratic bump over [lmin, 1, lmax]
+    left = 0.5 * (lmin + 1.0)
+    right = 0.5 * (1.0 + lmax)
+    sq = lambda x: x * x  # noqa: E731
+    FL = jnp.where(
+        (L <= lmin) | (L >= lmax),
+        0.0,
+        jnp.where(
+            L < left,
+            0.5 * sq((L - lmin) / jnp.maximum(left - lmin, _EPS_MUSCLE)),
+            jnp.where(
+                L < 1.0,
+                1.0 - 0.5 * sq((1.0 - L) / jnp.maximum(1.0 - left, _EPS_MUSCLE)),
+                jnp.where(
+                    L < right,
+                    1.0 - 0.5 * sq((L - 1.0) / jnp.maximum(right - 1.0, _EPS_MUSCLE)),
+                    0.5 * sq((lmax - L) / jnp.maximum(lmax - right, _EPS_MUSCLE)),
+                ),
+            ),
+        ),
+    )
+    # force-velocity: parabolic in [-1, 0], saturating at fvmax
+    y = fvmax - 1.0
+    FV = jnp.where(
+        V <= -1.0,
+        0.0,
+        jnp.where(
+            V <= 0.0,
+            sq(V + 1.0),
+            jnp.where(V <= y, fvmax - sq(y - V) / jnp.maximum(y, _EPS_MUSCLE), fvmax),
+        ),
+    )
+    # passive force-length: quadratic ramp to fpmax/2 at b, linear beyond
+    b = 0.5 * (1.0 + lmax)
+    xb = jnp.maximum(b - 1.0, _EPS_MUSCLE)
+    FP = jnp.where(
+        L <= 1.0,
+        0.0,
+        jnp.where(L <= b, 0.5 * fpmax * sq((L - 1.0) / xb), fpmax * (0.5 + (L - b) / xb)),
+    )
+    return -force * FL * FV, -force * FP
+
+
+def muscle_dynamics(m: Model, ctrl: jax.Array, act: jax.Array, dyn_u) -> jax.Array:
+    """Vectorized mju_muscleDynamics (activation ODE with optional quintic
+    smoothstep time-constant blending). ctrl/act are the dyn_u slices."""
+    prm = m.actuator_dynprm[dyn_u]
+    tau_act, tau_deact, tsmooth = prm[:, 0], prm[:, 1], prm[:, 2]
+    c = jnp.clip(ctrl, 0.0, 1.0)
+    dctrl = c - act
+    t1 = tau_act * (0.5 + 1.5 * act)
+    t2 = tau_deact / (0.5 + 1.5 * act)
+    xs = jnp.clip(dctrl / jnp.maximum(tsmooth, _EPS_MUSCLE) + 0.5, 0.0, 1.0)
+    sig = xs * xs * xs * (xs * (6.0 * xs - 15.0) + 10.0)
+    tau = jnp.where(tsmooth > 0, t2 + (t1 - t2) * sig, jnp.where(dctrl > 0, t1, t2))
+    return dctrl / jnp.maximum(tau, _EPS_MUSCLE)
+
+
 def fwd_actuation(m: Model, d: Data) -> Data:
     """ctrl -> generalized actuator force (fixed gain + affine bias)."""
     s = m.skel
@@ -426,9 +501,14 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * length + m.actuator_biasprm[:, 2] * velocity,
         0.0,
     )
+    if bool((s.actuator_gaintype == int(GainType.MUSCLE)).any()):
+        mgain, mbias = muscle_gain_bias(m, length, velocity)
+        gain = jnp.where(gaintype == int(GainType.MUSCLE), mgain, gain)
+        bias = jnp.where(biastype == int(BiasType.MUSCLE), mbias, bias)
 
-    # activation dynamics: dyntype FILTER (act_dot = (ctrl-act)/tau) and
-    # INTEGRATOR (act_dot = ctrl); actuators with dynamics drive force via act
+    # activation dynamics: dyntype FILTER (act_dot = (ctrl-act)/tau),
+    # INTEGRATOR (act_dot = ctrl), MUSCLE (FLV activation ODE); actuators
+    # with dynamics drive force via act
     act_dot = d.act_dot
     act_input = ctrl
     if s.na:
@@ -439,6 +519,11 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         )
         tau = jnp.maximum(m.actuator_dynprm[dyn_u, 0], 1e-8)
         act_dot = jnp.where(is_filter, (ctrl[dyn_u] - d.act) / tau, ctrl[dyn_u])
+        if bool((s.actuator_dyntype == int(DynType.MUSCLE)).any()):
+            is_muscle = jnp.asarray(s.actuator_dyntype[dyn_u] == int(DynType.MUSCLE))
+            act_dot = jnp.where(
+                is_muscle, muscle_dynamics(m, ctrl[dyn_u], d.act, dyn_u), act_dot
+            )
         act_input = act_input.at[dyn_u].set(d.act)
     force = gain * act_input + bias
 

@@ -238,30 +238,61 @@ def make_constraint(m: Model, d: Data) -> Data:
         efc_active = efc_active.at[rows].set(fl_enabled)
         row += nft
 
-    # -------- limits: joint rows, then tendon rows (MuJoCo order) --------
+    # -------- limits: joint rows (scalar + ball, id order), then tendons ----
     lim_enabled = not (m.opt.disableflags & DisableBit.LIMIT)
     nlj = len(s.limit_jntid)
     if nlj:
-        jids = s.limit_jntid  # static (nlj,)
-        qas = s.jnt_qposadr[jids]
-        das = s.jnt_dofadr[jids]
-        rows = np.arange(row, row + nlj)
-        lo, hi = m.jnt_range[jids, 0], m.jnt_range[jids, 1]
-        q = d.qpos[qas]
-        dist_lo, dist_hi = q - lo, hi - q
-        lower = dist_lo < dist_hi
-        dist = jnp.where(lower, dist_lo, dist_hi)
-        sign = jnp.where(lower, 1.0, -1.0)
-        margin = m.jnt_margin[jids]
-        pos = dist - margin
-        k, b, imp = _kbi(m, m.jnt_solref[jids], m.jnt_solimp[jids], pos)
-        jqvel = sign * d.qvel[das]
-        efc_J = efc_J.at[rows, das].set(sign)
-        efc_pos = efc_pos.at[rows].set(pos)
-        efc_margin = efc_margin.at[rows].set(margin)
-        efc_aref = efc_aref.at[rows].set(-b * jqvel - k * imp * pos)
-        efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[das], _MINVAL))
-        efc_active = efc_active.at[rows].set(lim_enabled & (dist < margin))
+        lim_types = np.asarray([int(s.jnt_type[j]) for j in s.limit_jntid])
+        scalar_sel = np.nonzero(lim_types != int(JointType.BALL))[0]
+        ball_sel = np.nonzero(lim_types == int(JointType.BALL))[0]
+        base_rows = np.arange(row, row + nlj)
+        if len(scalar_sel):
+            jids = s.limit_jntid[scalar_sel]  # static
+            qas = s.jnt_qposadr[jids]
+            das = s.jnt_dofadr[jids]
+            rows = base_rows[scalar_sel]
+            lo, hi = m.jnt_range[jids, 0], m.jnt_range[jids, 1]
+            q = d.qpos[qas]
+            dist_lo, dist_hi = q - lo, hi - q
+            lower = dist_lo < dist_hi
+            dist = jnp.where(lower, dist_lo, dist_hi)
+            sign = jnp.where(lower, 1.0, -1.0)
+            margin = m.jnt_margin[jids]
+            pos = dist - margin
+            k, b, imp = _kbi(m, m.jnt_solref[jids], m.jnt_solimp[jids], pos)
+            jqvel = sign * d.qvel[das]
+            efc_J = efc_J.at[rows, das].set(sign)
+            efc_pos = efc_pos.at[rows].set(pos)
+            efc_margin = efc_margin.at[rows].set(margin)
+            efc_aref = efc_aref.at[rows].set(-b * jqvel - k * imp * pos)
+            efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[das], _MINVAL))
+            efc_active = efc_active.at[rows].set(lim_enabled & (dist < margin))
+        for kk in ball_sel:
+            # ball limit: one row on the total rotation angle (mj_instantiateLimit:
+            # dist = max(range) - |rotvec|, J = -axis)
+            j = int(s.limit_jntid[kk])
+            qa, da = int(s.jnt_qposadr[j]), int(s.jnt_dofadr[j])
+            rowi = int(base_rows[kk])
+            q = d.qpos[qa : qa + 4]
+            sin_half = jnp.linalg.norm(q[1:4])
+            angle = 2.0 * jnp.arctan2(sin_half, q[0])
+            angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
+            axis = q[1:4] / jnp.maximum(sin_half, _MINVAL) * jnp.sign(angle)
+            maxangle = jnp.maximum(m.jnt_range[j, 0], m.jnt_range[j, 1])
+            dist = maxangle - jnp.abs(angle)
+            margin = m.jnt_margin[j]
+            pos = dist - margin
+            k, b, imp = _kbi(m, m.jnt_solref[j], m.jnt_solimp[j], pos)
+            Jrow = jnp.zeros(nv, dtype).at[da : da + 3].set(-axis)
+            jqvel = Jrow @ d.qvel
+            efc_J = efc_J.at[rowi].set(Jrow)
+            efc_pos = efc_pos.at[rowi].set(pos)
+            efc_margin = efc_margin.at[rowi].set(margin)
+            efc_aref = efc_aref.at[rowi].set(-b * jqvel - k * imp * pos)
+            efc_D = efc_D.at[rowi].set(
+                imp / jnp.maximum((1 - imp) * m.dof_invweight0[da], _MINVAL)
+            )
+            efc_active = efc_active.at[rowi].set(lim_enabled & (dist < margin))
         row += nlj
     nlt = len(getattr(s, "limit_tenid", ()))
     if nlt:

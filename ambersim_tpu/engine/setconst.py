@@ -30,7 +30,19 @@ def set_constants(model: Model) -> Model:
             else None
         )
     minv_np = np.linalg.inv(qm)
-    dof_invweight0 = np.diag(minv_np)
+    dof_invweight0 = np.diag(minv_np).copy()
+    # mj_setConst averages invweight over a ball joint's 3 dofs and a free
+    # joint's translational / rotational triples (oracle-pinned)
+    from ambersim_tpu.core.types import JointType
+
+    for j in range(s.njnt):
+        jtype = int(s.jnt_type[j])
+        da = int(s.jnt_dofadr[j])
+        if jtype == int(JointType.BALL):
+            dof_invweight0[da : da + 3] = dof_invweight0[da : da + 3].mean()
+        elif jtype == int(JointType.FREE):
+            dof_invweight0[da : da + 3] = dof_invweight0[da : da + 3].mean()
+            dof_invweight0[da + 3 : da + 6] = dof_invweight0[da + 3 : da + 6].mean()
 
     # body invweight0: mean diagonal of J M^-1 J^T for com translation/rotation
     supports = smooth._body_dof_support(s)  # (nbody, nv)

@@ -292,3 +292,46 @@ def test_contact_efc_R_parity(condim, mu, imp):
     assert mj_data.nefc == nrow
     np.testing.assert_allclose(1.0 / d.efc_D[:nrow], mj_data.efc_R, rtol=1e-4)
     np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=5e-3, atol=1e-3)
+
+
+BALL_LIMITED = """
+<mujoco><option timestep="0.002"/><worldbody><body pos="0 0 1">
+  <joint name="b" type="ball" range="0 30" damping="0.05"/>
+  <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" density="700"/>
+</body></worldbody></mujoco>
+"""
+
+
+def test_ball_joint_limit_rows():
+    """Ball rotation-angle limit: dist = max(range) - |rotvec|, J = -axis
+    (mj_instantiateLimit), with the averaged ball-dof invweight0."""
+    mj_model, model = _pair(BALL_LIMITED)
+    np.testing.assert_allclose(model.dof_invweight0, mj_model.dof_invweight0, rtol=1e-5)
+    mj_data = mujoco.MjData(mj_model)
+    q = np.array([0.95, 0.25, 0.15, 0.1])
+    q /= np.linalg.norm(q)  # rotation angle ~0.63 rad > the 30-degree limit
+    qvel = np.array([1.5, -0.5, 0.3])
+    mj_data.qpos[:] = q
+    mj_data.qvel[:] = qvel
+    mujoco.mj_forward(mj_model, mj_data)
+    d = make_data(model).replace(qpos=jnp.asarray(q, jnp.float32), qvel=jnp.asarray(qvel, jnp.float32))
+    d = jax.jit(forward)(model, d)
+    assert mj_data.nefc == model.skel.nefc == 1
+    np.testing.assert_allclose(d.efc_J, mj_data.efc_J.reshape(1, 3), atol=1e-6)
+    np.testing.assert_allclose(d.efc_pos, mj_data.efc_pos, atol=1e-6)
+    np.testing.assert_allclose(1.0 / d.efc_D, mj_data.efc_R, rtol=1e-4)
+    np.testing.assert_allclose(d.qacc, mj_data.qacc, rtol=5e-3, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_ball_joint_limit_rollout():
+    """400 steps of free swing repeatedly hitting the ball rotation limit."""
+    mj_model, model = _pair(BALL_LIMITED)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qvel[:] = [3.0, -2.0, 1.0]
+    d = make_data(model).replace(qvel=jnp.array([3.0, -2.0, 1.0], jnp.float32))
+    stp = jax.jit(step)
+    for _ in range(400):
+        mujoco.mj_step(mj_model, mj_data)
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-4)

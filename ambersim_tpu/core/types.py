@@ -411,6 +411,11 @@ class Model:
     mesh_face_vert: jax.Array  # (nmesh, maxface, maxfv, 3) face polygon rings, last-vert padded
     mesh_edge: jax.Array  # (nmesh, maxedge, 2, 3) unique edge segments, padded
 
+    # height fields: normalized [0, 1] elevation grids (row = y), zero-padded
+    # to the largest grid; size = (radius_x, radius_y, z_scale, base_depth)
+    hfield_size: jax.Array  # (nhfield, 4)
+    hfield_data: jax.Array  # (nhfield, max_nrow, max_ncol)
+
     # ---- convenience pass-throughs to the static skeleton ----
     @property
     def nq(self) -> int:

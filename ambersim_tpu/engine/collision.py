@@ -368,6 +368,153 @@ def mesh_mesh(xp1, xm1, s1, xp2, xm2, s2, mesh1, mesh2):
     return dist, pos, frame
 
 
+def _closest_on_triangle(p, a, b, c):
+    """Closest point on triangle (a, b, c) to point p, branch-free
+    (Ericson, Real-Time Collision Detection 5.1.5). All (..., 3)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-20)
+    v = jnp.clip(vb / denom, 0.0, 1.0)
+    w = jnp.clip(vc / denom, 0.0, 1.0)
+    interior = a + v[..., None] * ab + w[..., None] * ac
+    # edge/vertex regions
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-20), 0.0, 1.0)
+    on_ab = a + t_ab[..., None] * ab
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-20), 0.0, 1.0)
+    on_ac = a + t_ac[..., None] * ac
+    t_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), 1e-20), 0.0, 1.0)
+    on_bc = b + t_bc[..., None] * (c - b)
+    out = interior
+    out = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None], on_ab, out)
+    out = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None], on_ac, out)
+    out = jnp.where(((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None], on_bc, out)
+    out = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a, out)
+    out = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b, out)
+    out = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c, out)
+    return out
+
+
+def _hfield_window_tris(m, s, hid: int, c_local, K: int, dtype):
+    """2*(K-1)^2 local-frame surface triangles of the KxK grid window nearest
+    the local point c_local. Cells split along the (j,i)->(j+1,i+1) diagonal."""
+    nrow, ncol = int(s.hfield_nrow[hid]), int(s.hfield_ncol[hid])
+    size = m.hfield_size[hid]
+    dx = 2.0 * size[0] / (ncol - 1)
+    dy = 2.0 * size[1] / (nrow - 1)
+    fx = (c_local[0] + size[0]) / dx
+    fy = (c_local[1] + size[1]) / dy
+    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32) - (K - 1) // 2, 0, ncol - K)
+    j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32) - (K - 1) // 2, 0, nrow - K)
+    win = jax.lax.dynamic_slice(m.hfield_data[hid], (j0, i0), (K, K)) * size[2]  # (K, K)
+    xs = (-size[0] + (i0 + jnp.arange(K)) * dx).astype(dtype)  # (K,)
+    ys = (-size[1] + (j0 + jnp.arange(K)) * dy).astype(dtype)
+    V = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (K, K)),
+            jnp.broadcast_to(ys[:, None], (K, K)),
+            win.astype(dtype),
+        ],
+        axis=-1,
+    )  # (K, K, 3) with [j, i]
+    v00 = V[:-1, :-1].reshape(-1, 3)
+    v01 = V[:-1, 1:].reshape(-1, 3)
+    v10 = V[1:, :-1].reshape(-1, 3)
+    v11 = V[1:, 1:].reshape(-1, 3)
+    tri_a = jnp.concatenate([v00, v00], 0)
+    tri_b = jnp.concatenate([v01, v11], 0)
+    tri_c = jnp.concatenate([v11, v10], 0)
+    return tri_a, tri_b, tri_c  # (T, 3) each, T = 2*(K-1)^2
+
+
+def _hfield_spheres(m, s, d, gh: int, go: int, centers_w, r, K: int, k_out: int):
+    """Deepest k_out contacts between a set of spheres (centers, shared radius)
+    and the hfield's local triangle window. Returns (k_out,), (k_out, 3) world
+    pos, (k_out, 3, 3) frames. Normal points from the hfield into the sphere."""
+    dtype = centers_w.dtype
+    hid = int(s.geom_hfieldid[gh])
+    R = d.geom_xmat[gh]
+    p = d.geom_xpos[gh]
+    cs = jnp.einsum("ij,nj->ni", R.T, centers_w - p)  # (N, 3) local centers
+    tri_a, tri_b, tri_c = _hfield_window_tris(m, s, hid, cs.mean(0), K, dtype)
+    cp = _closest_on_triangle(cs[:, None, :], tri_a[None], tri_b[None], tri_c[None])  # (N, T, 3)
+    dvec = cs[:, None, :] - cp
+    dd = jnp.linalg.norm(dvec, axis=-1)
+    n = dvec / jnp.maximum(dd, 1e-12)[..., None]
+    # upward triangle plane normal + signed center-plane distance
+    nt = jnp.cross(tri_b - tri_a, tri_c - tri_a)  # (T, 3)
+    nt = nt * jnp.sign(nt[..., 2:3])
+    nt = nt / jnp.maximum(jnp.linalg.norm(nt, -1, keepdims=True), 1e-12)
+    sd = jnp.einsum("ntj,tj->nt", cs[:, None, :] - tri_a[None], nt)
+    # is the center's xy inside the triangle's column? (2D barycentric)
+    e0 = (tri_b - tri_a)[..., :2]
+    e1 = (tri_c - tri_a)[..., :2]
+    dp = cs[:, None, :2] - tri_a[None, :, :2]
+    det = e0[..., 0] * e1[..., 1] - e0[..., 1] * e1[..., 0]
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    u = (dp[..., 0] * e1[..., 1] - dp[..., 1] * e1[..., 0]) / det
+    v = (e0[..., 0] * dp[..., 1] - e0[..., 1] * dp[..., 0]) / det
+    inside = (u >= 0) & (v >= 0) & (u + v <= 1)
+    # center below the surface inside a column: push up along the plane normal;
+    # outside-column triangles with the center behind their plane are ignored
+    # (a tall neighbor must not claim a laterally adjacent sphere)
+    below = inside & (sd < 0)
+    ignore = (~inside) & (sd < 0)
+    n = jnp.where(below[..., None], jnp.broadcast_to(nt[None], n.shape), n)
+    dist = jnp.where(below, sd - r, dd - r)
+    dist = jnp.where(ignore, _BIG, dist)
+    cp = jnp.where(below[..., None], cs[:, None, :] - sd[..., None] * nt[None], cp)
+    # one contact per triangle region; pick the k_out deepest across all
+    # (sphere, triangle) candidates
+    flat_dist = dist.reshape(-1)
+    _, sel = jax.lax.top_k(-flat_dist, k_out)
+    dist_k = flat_dist[sel]
+    cp_k = cp.reshape(-1, 3)[sel]
+    n_k = n.reshape(-1, 3)[sel]
+    pos_w = p[None] + cp_k @ R.T + 0.5 * dist_k[:, None] * (n_k @ R.T)
+    n_w = n_k @ R.T
+    return dist_k, pos_w, _make_frame(n_w)
+
+
+def _hfield_group(m, s, d, g1s, g2s, other_type: int, ncon_per: int):
+    """Static unroll over hfield pairs (windows are tiny and pair counts low)."""
+    dists, poss, frames = [], [], []
+    for gh, go in zip(g1s, g2s):
+        gh, go = int(gh), int(go)
+        pair_idx = int(
+            next(
+                i
+                for i in range(len(s.pair_geom1))
+                if int(s.pair_geom1[i]) == gh and int(s.pair_geom2[i]) == go
+            )
+        )
+        K = int(s.pair_hfk[pair_idx])
+        if other_type == int(GeomType.SPHERE):
+            centers = d.geom_xpos[go][None]
+            r = m.geom_size[go, 0]
+        else:  # capsule: 3-sphere approximation along the axis
+            axis = d.geom_xmat[go][:, 2]
+            hl = m.geom_size[go, 1]
+            centers = d.geom_xpos[go][None] + jnp.array([-1.0, 0.0, 1.0])[:, None] * hl * axis[None]
+            r = m.geom_size[go, 0]
+        dist, pos, frame = _hfield_spheres(m, s, d, gh, go, centers, r, K, ncon_per)
+        dists.append(dist)
+        poss.append(pos)
+        frames.append(frame)
+    return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
+
+
 # dispatch table keyed by (type1, type2) with type1 <= type2 (compiler orders pairs)
 _NARROWPHASE = {
     (int(GeomType.PLANE), int(GeomType.SPHERE)): (plane_sphere, 1),
@@ -386,6 +533,10 @@ _NARROWPHASE = {
     (int(GeomType.BOX), int(GeomType.BOX)): (box_box, 8),
     (int(GeomType.PLANE), int(GeomType.CYLINDER)): (plane_cylinder, 4),
     (int(GeomType.PLANE), int(GeomType.ELLIPSOID)): (plane_ellipsoid, 1),
+    # hfield pairs dispatch through _hfield_group (window geometry needs the
+    # model/skeleton, not just poses)
+    (int(GeomType.HFIELD), int(GeomType.SPHERE)): (None, 4),
+    (int(GeomType.HFIELD), int(GeomType.CAPSULE)): (None, 4),
 }
 
 
@@ -531,7 +682,10 @@ def collision(m: Model, d: Data) -> Data:
             args = args + (mesh_tuple(g1),)
         if tkey[1] == int(GeomType.MESH):
             args = args + (mesh_tuple(g2),)
-        dist, pos, frame = fn(*args)  # (npairs_in_group, ncon_per[, ...])
+        if tkey[0] == int(GeomType.HFIELD):
+            dist, pos, frame = _hfield_group(m, s, d, g1s, g2s, tkey[1], ncon_per)
+        else:
+            dist, pos, frame = fn(*args)  # (npairs_in_group, ncon_per[, ...])
         friction, solref, solimp, margin, gap = _mix_params(m, g1, g2)
         # explicit <pair> overrides
         has_any_exp = bool((exp_s >= 0).any())

@@ -84,6 +84,7 @@ class ModelSpec:
     pairs: List[ElemSpec] = dataclasses.field(default_factory=list)
     excludes: List[ElemSpec] = dataclasses.field(default_factory=list)
     meshes: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
+    hfields: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
     base_dir: str = "."
 
     def degrees(self) -> bool:
@@ -211,6 +212,9 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                     attrib = defaults.resolve("mesh", sub.attrib, sub.get("class", "main"))
                     name = attrib.get("name") or os.path.splitext(os.path.basename(attrib["file"]))[0]
                     spec.meshes[name] = attrib
+                elif sub.tag == "hfield":
+                    attrib = dict(sub.attrib)
+                    spec.hfields[attrib["name"]] = attrib
 
     # worldbody: body index 0 is the world
     world = BodySpec(name="world", attrib={}, parent=-1, childclass="main")

@@ -5,6 +5,7 @@ with contacts disabled + batched cost-decrease property)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ambersim_tpu.core.types import DisableBit, IntegratorType, SolverType
 from ambersim_tpu.trajopt import (
@@ -61,6 +62,7 @@ def test_smoke_jitted():
     assert np.isfinite(np.asarray(xs)).all()
 
 
+@pytest.mark.slow
 def test_cost_decrease_batched():
     """Optimized cost <= guess cost for a batch of random problems —
     guaranteed since sample 0 is the unperturbed guess (reference

@@ -36,6 +36,7 @@ from ambersim_tpu.engine.schedule import tree_schedule
 # sensors evaluated by this module
 _POS = {
     SensorType.MAGNETOMETER,
+    SensorType.RANGEFINDER,
     SensorType.JOINTPOS,
     SensorType.TENDONPOS,
     SensorType.ACTUATORPOS,
@@ -371,6 +372,17 @@ def _eval_sensor(
         return d.qpos[s.jnt_qposadr[objid]]
     if stype == SensorType.JOINTVEL:
         return d.qvel[s.jnt_dofadr[objid]]
+    if stype == SensorType.RANGEFINDER:
+        from ambersim_tpu.engine.ray import ray
+
+        dist, _ = ray(
+            m,
+            d,
+            d.site_xpos[objid],
+            d.site_xmat[objid][:, 2],
+            bodyexclude=int(s.site_bodyid[objid]),
+        )
+        return dist
     if stype == SensorType.TENDONPOS:
         return d.ten_length[objid]
     if stype == SensorType.TENDONVEL:

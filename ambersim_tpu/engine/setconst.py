@@ -86,41 +86,4 @@ def set_constants(model: Model) -> Model:
         updates["actuator_acc0"] = np.asarray(
             np.linalg.norm(moment0 @ minv_np, axis=1), np.float32
         )
-    if s.ntendon:
-        _warn_wrap_inside(model, d)
     return model.replace(**updates)
-
-
-def _warn_wrap_inside(model: Model, d) -> None:
-    """MuJoCo switches to interior wrapping (mju_wrap 'wrap_inside') when a
-    sidesite lies inside the wrap geom; this engine implements exterior
-    wrapping only, so flag such models loudly instead of silently diverging."""
-    import warnings
-
-    s = model.skel
-    geom_xpos = np.asarray(d.geom_xpos)
-    geom_xmat = np.asarray(d.geom_xmat)
-    site_xpos = np.asarray(d.site_xpos)
-    for t in range(s.ntendon):
-        if s.tendon_kind[t] != "spatial":
-            continue
-        for el in s.tendon_path[t]:
-            if el[0] != "geom" or el[2] < 0:
-                continue
-            gid, sid = el[1], el[2]
-            local = geom_xmat[gid].T @ (site_xpos[sid] - geom_xpos[gid])
-            r = float(model.geom_size[gid, 0])
-            from ambersim_tpu.core.types import GeomType
-
-            dist = (
-                np.linalg.norm(local[:2])
-                if int(s.geom_type[gid]) == int(GeomType.CYLINDER)
-                else np.linalg.norm(local)
-            )
-            if dist < r:
-                warnings.warn(
-                    f"tendon '{s.tendon_names[t]}': sidesite is inside the wrap geom at "
-                    "qpos0 — MuJoCo would use interior wrapping (wrap_inside), which is "
-                    "not implemented; exterior wrapping will be used",
-                    stacklevel=3,
-                )

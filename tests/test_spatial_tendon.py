@@ -131,3 +131,63 @@ def test_spatial_rollout_parity():
         mujoco.mj_step(mj_model, mj_data)
         d = stp(model, d.replace(ctrl=ctrl.astype(np.float32)))
         np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=5e-3)
+
+
+PULLEY_RING = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="a" pos="0 0 0.5">
+      <joint name="j1" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.02"/>
+      <site name="s1" pos="0.3 0 0"/>
+    </body>
+    <body name="ring" pos="0.1 0 0.2">
+      <geom name="wrap" type="cylinder" size="0.05 0.1" euler="90 0 0" contype="0" conaffinity="0"/>
+      <site name="inside" pos="0 0 0.02"/>
+    </body>
+    <site name="w1" pos="0.1 0 -0.3"/>
+  </worldbody>
+  <tendon>
+    <spatial name="t" stiffness="4" damping="0.1">
+      <site site="s1"/>
+      <geom geom="wrap" sidesite="inside"/>
+      <site site="w1"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+
+def test_interior_wrap_parity():
+    """Sidesite inside the geom: the tendon bends at a single circle point
+    (mju_wrap 'wrap_inside'), straight when the segment crosses the disk."""
+    mj_model, model = _load_pair(PULLEY_RING)
+    mj_data = mujoco.MjData(mj_model)
+    fwd = jax.jit(forward)
+    wrapnums = set()
+    for q in [-1.2, -0.6, 0.0, 0.6, 1.2]:
+        mj_data.qpos[:] = q
+        mj_data.qvel[:] = 0.7
+        mujoco.mj_forward(mj_model, mj_data)
+        wrapnums.update(mj_data.ten_wrapnum.tolist())
+        d = make_data(model).replace(
+            qpos=np.array([q], np.float32), qvel=np.array([0.7], np.float32)
+        )
+        d = fwd(model, d)
+        np.testing.assert_allclose(d.ten_length, mj_data.ten_length, atol=1e-6)
+        np.testing.assert_allclose(d.ten_velocity, mj_data.ten_velocity, atol=1e-6)
+    assert 2 in wrapnums and 4 in wrapnums  # both straight and bent states hit
+
+
+@pytest.mark.slow
+def test_interior_wrap_rollout():
+    mj_model, model = _load_pair(PULLEY_RING)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qvel[:] = 2.0
+    d = make_data(model).replace(qvel=np.array([2.0], np.float32))
+    stp = jax.jit(step)
+    for _ in range(500):
+        mujoco.mj_step(mj_model, mj_data)
+        d = stp(model, d)
+    np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-4)

@@ -608,9 +608,10 @@ def collision(m: Model, d: Data) -> Data:
     geom1_all = jnp.asarray(s.con_geom1, jnp.int32)
     geom2_all = jnp.asarray(s.con_geom2, jnp.int32)
 
-    # group pairs by type pair (static)
-    pair_t1 = s.geom_type[s.pair_geom1]
-    pair_t2 = s.geom_type[s.pair_geom2]
+    # group pairs by effective collision type (static; cylinders/ellipsoids
+    # in non-analytic pairs dispatch as their synthesized MESH hulls)
+    pair_t1 = s.pair_ctype1
+    pair_t2 = s.pair_ctype2
     con_adr = s.con_adr  # (npair,) first contact slot of each pair (-1 = capped group)
     dyn_groups = {
         (int(t1), int(t2)): (int(adr), int(nsel))

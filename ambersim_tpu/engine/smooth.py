@@ -312,11 +312,57 @@ def passive(m: Model, d: Data) -> Data:
         spring = spring + d.ten_J.T @ ten_frc
         damper = damper + d.ten_J.T @ (-m.tendon_damping * d.ten_velocity)
     qfrc_passive = spring + damper
+    if getattr(s, "has_fluid", False):
+        qfrc_passive = qfrc_passive + _fluid_force(m, d)
     if m.opt.disableflags & DisableBit.PASSIVE:
         qfrc_passive = jnp.zeros_like(qfrc_passive)
         spring = jnp.zeros_like(spring)
         damper = jnp.zeros_like(damper)
     return d.replace(qfrc_spring=spring, qfrc_damper=damper, qfrc_passive=qfrc_passive)
+
+
+def _fluid_force(m: Model, d: Data) -> jax.Array:
+    """Inertia-box fluid model (mj_passive: viscous + quadratic-density drag
+    and wind, oracle-pinned formula-for-formula).
+
+    Each body is an equivalent inertia box with half-sizes
+    sqrt((I_j + I_k - I_i) * 3 / (2 m)); drag acts on the body's local 6D
+    velocity (linear part relative to opt.wind) in the inertial frame and is
+    applied as a world wrench at xipos."""
+    s = m.skel
+    dtype = d.qpos.dtype
+    I = m.body_inertia  # (nbody, 3)
+    mass = m.body_mass
+    msafe = jnp.maximum(mass, 1e-12)
+    Ij = jnp.roll(I, -1, axis=1)
+    Ik = jnp.roll(I, -2, axis=1)
+    box = jnp.sqrt(jnp.maximum((Ij + Ik - I) * 3.0 / (2.0 * msafe[:, None]), 1e-12))
+
+    root = d.subtree_com[s.body_rootid]
+    ang = d.cvel[:, :3]
+    lin = d.cvel[:, 3:] + jnp.cross(ang, d.xipos - root)
+    Ri = d.ximat  # (nbody, 3, 3) world <- inertial
+    lang = jnp.einsum("bij,bi->bj", Ri, ang)
+    llin = jnp.einsum("bij,bi->bj", Ri, lin - m.opt.wind[None].astype(dtype))
+
+    rho = m.opt.density
+    beta = m.opt.viscosity
+    diam = 2.0 * box.mean(axis=1)  # equivalent sphere diameter
+    torque = -jnp.pi * diam[:, None] ** 3 * beta * lang
+    force = -3.0 * jnp.pi * diam[:, None] * beta * llin
+    B = 2.0 * box  # full box sides
+    Bj = jnp.roll(B, -1, axis=1)
+    Bk = jnp.roll(B, -2, axis=1)
+    force = force - 0.5 * rho * Bj * Bk * jnp.abs(llin) * llin
+    torque = torque - rho * B * (Bj**4 + Bk**4) * jnp.abs(lang) * lang / 64.0
+
+    live = (mass > 1e-9)[:, None]
+    fw = jnp.einsum("bij,bj->bi", Ri, jnp.where(live, force, 0.0))
+    tw = jnp.einsum("bij,bj->bi", Ri, jnp.where(live, torque, 0.0))
+    ang_t = tw + jnp.cross(d.xipos - root, fw)
+    fspatial = jnp.concatenate([ang_t, fw], axis=-1)  # (nbody, 6)
+    supports = _body_dof_support(s)
+    return jnp.einsum("bv,vi,bi->v", jnp.asarray(supports, dtype), d.cdof, fspatial)
 
 
 _MOMENT_CACHE: dict = {}

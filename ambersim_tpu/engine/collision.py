@@ -503,11 +503,16 @@ def _hfield_group(m, s, d, g1s, g2s, other_type: int, ncon_per: int):
         if other_type == int(GeomType.SPHERE):
             centers = d.geom_xpos[go][None]
             r = m.geom_size[go, 0]
-        else:  # capsule: 3-sphere approximation along the axis
+        elif other_type == int(GeomType.CAPSULE):
+            # capsule: 3-sphere approximation along the axis
             axis = d.geom_xmat[go][:, 2]
             hl = m.geom_size[go, 1]
             centers = d.geom_xpos[go][None] + jnp.array([-1.0, 0.0, 1.0])[:, None] * hl * axis[None]
             r = m.geom_size[go, 0]
+        else:  # box: 8 corner point contacts
+            corners = jnp.asarray(_BOX_CORNERS, d.qpos.dtype) * m.geom_size[go][None]
+            centers = d.geom_xpos[go][None] + corners @ d.geom_xmat[go].T
+            r = jnp.zeros(())
         dist, pos, frame = _hfield_spheres(m, s, d, gh, go, centers, r, K, ncon_per)
         dists.append(dist)
         poss.append(pos)
@@ -537,6 +542,7 @@ _NARROWPHASE = {
     # model/skeleton, not just poses)
     (int(GeomType.HFIELD), int(GeomType.SPHERE)): (None, 4),
     (int(GeomType.HFIELD), int(GeomType.CAPSULE)): (None, 4),
+    (int(GeomType.HFIELD), int(GeomType.BOX)): (None, 4),
 }
 
 

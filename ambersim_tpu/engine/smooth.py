@@ -314,6 +314,15 @@ def passive(m: Model, d: Data) -> Data:
     qfrc_passive = spring + damper
     if getattr(s, "has_fluid", False):
         qfrc_passive = qfrc_passive + _fluid_force(m, d)
+    if getattr(s, "has_gravcomp", False):
+        # gravity compensation: antigravity force gravcomp * m * (-g) at each
+        # body's COM (mj_passive semantics, oracle-pinned)
+        fw = -(m.body_gravcomp * m.body_mass)[:, None] * m.opt.gravity[None].astype(dtype)
+        root = d.subtree_com[s.body_rootid]
+        ang_t = jnp.cross(d.xipos - root, fw)
+        fspatial = jnp.concatenate([ang_t, fw], axis=-1)
+        sup = jnp.asarray(_body_dof_support(s), dtype)
+        qfrc_passive = qfrc_passive + jnp.einsum("bv,vi,bi->v", sup, d.cdof, fspatial)
     if m.opt.disableflags & DisableBit.PASSIVE:
         qfrc_passive = jnp.zeros_like(qfrc_passive)
         spring = jnp.zeros_like(spring)

@@ -25,8 +25,14 @@ def _register_packaged() -> None:
 
         return QuadrupedLocomotionEnv(**kwargs)
 
+    def _quadruped_terrain(**kwargs):
+        from ambersim_tpu.rl.quadruped.terrain import QuadrupedTerrainEnv
+
+        return QuadrupedTerrainEnv(**kwargs)
+
     register_environment("pendulum_swingup", _pendulum)
     register_environment("quadruped_locomotion", _quadruped)
+    register_environment("quadruped_terrain", _quadruped_terrain)
 
 
 _register_packaged()

@@ -120,3 +120,21 @@ def test_domain_randomization_vmap_over_model():
     # fall harder toward gravity (monotone more-negative qvel)
     assert np.all(np.diff(accs) < 0), accs
     assert len(np.unique(accs)) == B
+
+
+@pytest.mark.slow
+def test_quadruped_terrain_env():
+    """Terrain locomotion env: programmatic hfield scene builds, the stand
+    pose survives 60 PD control steps on rough ground, and the env batches."""
+    from ambersim_tpu.rl import get_environment
+
+    env = get_environment("quadruped_terrain")
+    st = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    stp = jax.jit(env.step)
+    for i in range(60):
+        st = stp(st, 0.1 * jnp.sin(0.3 * i) * jnp.ones(env.action_size))
+    assert float(st.done) == 0.0  # still standing on the terrain
+    assert 0.15 < float(st.pipeline_state.qpos[2]) < 0.4
+    stB = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(1), 64))
+    stB = jax.jit(jax.vmap(env.step))(stB, jnp.zeros((64, env.action_size)))
+    assert stB.obs.shape == (64, env.observation_size)

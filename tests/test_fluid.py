@@ -75,3 +75,31 @@ def test_fluid_rollout_parity():
         mujoco.mj_step(mj_model, mj_data)
         d = stp(model, d)
     np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=1e-4)
+
+
+GRAVCOMP_RIG = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <body pos="0 0 1" gravcomp="0.7"><freejoint/><geom type="box" size="0.1 0.1 0.1" density="500"/>
+    <body pos="0.3 0 0" gravcomp="1.0"><joint axis="0 1 0"/><geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/></body>
+  </body>
+</worldbody></mujoco>
+"""
+
+
+def test_gravcomp_parity():
+    """body gravcomp adds the antigravity wrench at each COM (mj_passive)."""
+    mj_model, model = _load_pair(GRAVCOMP_RIG)
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qvel[:] = 0.3
+    mujoco.mj_forward(mj_model, mj_data)
+    d = make_data(model).replace(qvel=np.full(7, 0.3, np.float32))
+    d = jax.jit(forward)(model, d)
+    np.testing.assert_allclose(d.qfrc_passive, mj_data.qfrc_passive, atol=1e-5)
+    # free fall with partial compensation tracks the oracle
+    mj_data2 = mujoco.MjData(mj_model)
+    d2 = make_data(model)
+    stp = jax.jit(step)
+    for _ in range(500):
+        mujoco.mj_step(mj_model, mj_data2)
+        d2 = stp(model, d2)
+    np.testing.assert_allclose(d2.qpos, mj_data2.qpos, atol=1e-4)

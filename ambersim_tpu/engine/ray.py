@@ -139,6 +139,45 @@ def ray_hull(p, v, face_n, face_d, face_mask):
     return _pick_t(tmin, tmax, tmin <= tmax)
 
 
+def ray_hfield(m: Model, s, hid: int, p, v):
+    """Local-frame ray vs every surface triangle of a height field
+    (Moller-Trumbore over the full grid; grids are small and static)."""
+    nrow, ncol = int(s.hfield_nrow[hid]), int(s.hfield_ncol[hid])
+    size = m.hfield_size[hid]
+    dx = 2.0 * size[0] / (ncol - 1)
+    dy = 2.0 * size[1] / (nrow - 1)
+    xs = -size[0] + jnp.arange(ncol) * dx
+    ys = -size[1] + jnp.arange(nrow) * dy
+    z = m.hfield_data[hid, :nrow, :ncol] * size[2]
+    V = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (nrow, ncol)),
+            jnp.broadcast_to(ys[:, None], (nrow, ncol)),
+            z,
+        ],
+        axis=-1,
+    )
+    v00 = V[:-1, :-1].reshape(-1, 3)
+    v01 = V[:-1, 1:].reshape(-1, 3)
+    v10 = V[1:, :-1].reshape(-1, 3)
+    v11 = V[1:, 1:].reshape(-1, 3)
+    tri_a = jnp.concatenate([v00, v00], 0)
+    tri_b = jnp.concatenate([v01, v11], 0)
+    tri_c = jnp.concatenate([v11, v10], 0)
+    e1 = tri_b - tri_a
+    e2 = tri_c - tri_a
+    h = jnp.cross(v[None], e2)
+    det = jnp.einsum("tj,tj->t", e1, h)
+    det = jnp.where(jnp.abs(det) < 1e-15, 1e-15, det)
+    sv = p[None] - tri_a
+    u = jnp.einsum("tj,tj->t", sv, h) / det
+    q = jnp.cross(sv, e1)
+    w = jnp.einsum("j,tj->t", v, q) / det
+    t = jnp.einsum("tj,tj->t", e2, q) / det
+    hit = (u >= 0) & (w >= 0) & (u + w <= 1) & (t >= 0)
+    return jnp.min(jnp.where(hit, t, _INF))
+
+
 def ray_geom_local(gtype: int, p, v, size, mesh=None):
     """Dispatch by static geom type; p/v in the geom frame."""
     if gtype == int(GeomType.SPHERE):
@@ -155,7 +194,7 @@ def ray_geom_local(gtype: int, p, v, size, mesh=None):
         return ray_ellipsoid(p, v, size)
     if gtype == int(GeomType.MESH):
         return ray_hull(p, v, *mesh)
-    return jnp.full(p.shape[:-1], _INF, p.dtype)  # hfield rays unsupported
+    return jnp.full(p.shape[:-1], _INF, p.dtype)  # unknown type: no hit
 
 
 def ray(m: Model, d: Data, pnt, vec, bodyexclude: int = -1):
@@ -179,15 +218,18 @@ def ray(m: Model, d: Data, pnt, vec, bodyexclude: int = -1):
         p_l = R.T @ (pnt - d.geom_xpos[g])
         v_l = R.T @ vec
         mesh = None
-        if gtype == int(GeomType.MESH):
-            mid = int(s.geom_meshid[g])
-            fmask = np.arange(m.mesh_face_normal.shape[1]) < _mesh_facenum(m, s, mid)
-            mesh = (
-                m.mesh_face_normal[mid],
-                m.mesh_face_dist[mid],
-                jnp.asarray(fmask),
-            )
-        t = ray_geom_local(gtype, p_l, v_l, m.geom_size[g], mesh)
+        if gtype == int(GeomType.HFIELD):
+            t = ray_hfield(m, s, int(s.geom_hfieldid[g]), p_l, v_l)
+        else:
+            if gtype == int(GeomType.MESH):
+                mid = int(s.geom_meshid[g])
+                fmask = np.arange(m.mesh_face_normal.shape[1]) < _mesh_facenum(m, s, mid)
+                mesh = (
+                    m.mesh_face_normal[mid],
+                    m.mesh_face_dist[mid],
+                    jnp.asarray(fmask),
+                )
+            t = ray_geom_local(gtype, p_l, v_l, m.geom_size[g], mesh)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
         best_g = jnp.where(better, g, best_g)

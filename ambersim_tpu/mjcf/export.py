@@ -21,10 +21,12 @@ def spec_to_xml(spec: ModelSpec) -> str:
         opt = ET.SubElement(root, "option", dict(spec.option))
         if spec.flags:
             ET.SubElement(opt, "flag", dict(spec.flags))
-    if spec.meshes:
+    if spec.meshes or spec.hfields:
         asset = ET.SubElement(root, "asset")
         for name, attrib in spec.meshes.items():
             ET.SubElement(asset, "mesh", {k: str(v) for k, v in attrib.items()})
+        for name, attrib in spec.hfields.items():
+            ET.SubElement(asset, "hfield", {k: str(v) for k, v in attrib.items()})
 
     worldbody = ET.SubElement(root, "worldbody")
     elems = {0: worldbody}

@@ -160,3 +160,36 @@ def _unit(rng):
     if v[2] < 0:
         v[2] = -v[2]  # stay above the floor plane
     return v / np.linalg.norm(v)
+
+
+HFIELD_RAY_RIG = """
+<mujoco>
+  <asset><hfield name="t" nrow="9" ncol="9" size="1 1 0.3 0.1"/></asset>
+  <worldbody>
+    <geom name="hf" type="hfield" hfield="t"/>
+    <body pos="0 0 0.6"><freejoint/><geom type="sphere" size="0.05"/>
+      <site name="rf" pos="0 0 -0.06" zaxis="0 0 -1"/></body>
+  </worldbody>
+  <sensor><rangefinder name="down" site="rf"/></sensor>
+</mujoco>
+"""
+
+
+def test_rangefinder_over_terrain():
+    """Downward rangefinder over a wavy hfield (ray vs grid triangles)."""
+    mj_model = mujoco.MjModel.from_xml_string(HFIELD_RAY_RIG)
+    data = (0.5 + 0.5 * np.sin(np.linspace(0, 6, 81))).astype(np.float32)
+    mj_model.hfield_data[:] = data
+    model = set_constants(compile_spec(parse_mjcf_string(HFIELD_RAY_RIG)))
+    model = model.replace(hfield_data=data.reshape(1, 9, 9))
+    mj_data = mujoco.MjData(mj_model)
+    fwd = jax.jit(forward)
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        qpos = mj_model.qpos0.copy()
+        qpos[:3] = [rng.uniform(-0.7, 0.7), rng.uniform(-0.7, 0.7), rng.uniform(0.3, 0.8)]
+        mj_data.qpos[:] = qpos
+        mujoco.mj_forward(mj_model, mj_data)
+        d = make_data(model).replace(qpos=qpos.astype(np.float32))
+        d = fwd(model, d)
+        np.testing.assert_allclose(d.sensordata, mj_data.sensordata, atol=1e-5)

@@ -150,6 +150,9 @@ class SensorType(enum.IntEnum):
     JOINTLIMITPOS = 20
     JOINTLIMITVEL = 21
     JOINTLIMITFRC = 22
+    TENDONLIMITPOS = 23
+    TENDONLIMITVEL = 24
+    TENDONLIMITFRC = 25
     FRAMEPOS = 26
     FRAMEQUAT = 27
     FRAMEXAXIS = 28

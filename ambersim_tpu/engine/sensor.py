@@ -42,6 +42,7 @@ _POS = {
     SensorType.ACTUATORPOS,
     SensorType.BALLQUAT,
     SensorType.JOINTLIMITPOS,
+    SensorType.TENDONLIMITPOS,
     SensorType.FRAMEPOS,
     SensorType.FRAMEQUAT,
     SensorType.FRAMEXAXIS,
@@ -59,6 +60,7 @@ _VEL = {
     SensorType.ACTUATORVEL,
     SensorType.BALLANGVEL,
     SensorType.JOINTLIMITVEL,
+    SensorType.TENDONLIMITVEL,
     SensorType.FRAMELINVEL,
     SensorType.FRAMEANGVEL,
     SensorType.SUBTREELINVEL,
@@ -73,6 +75,7 @@ _ACC = {
     SensorType.ACTUATORFRC,
     SensorType.JOINTACTFRC,
     SensorType.JOINTLIMITFRC,
+    SensorType.TENDONLIMITFRC,
     SensorType.FRAMELINACC,
     SensorType.FRAMEANGACC,
 }
@@ -251,6 +254,14 @@ def _limit_row(s, jntid: int):
     return int(s.ne + s.nf + where[0])
 
 
+def _tendon_limit_row(s, tenid: int):
+    """efc row index of a tendon's limit row, or -1 (after joint limit rows)."""
+    where = np.nonzero(s.limit_tenid == tenid)[0]
+    if len(where) == 0:
+        return -1
+    return int(s.ne + s.nf + len(s.limit_jntid) + where[0])
+
+
 def sensors(m: Model, d: Data) -> Data:
     """Evaluate all sensors into d.sensordata (pos+vel+acc stages)."""
     s = m.skel
@@ -409,6 +420,20 @@ def _eval_sensor(
         if stype == SensorType.JOINTLIMITPOS:
             return jnp.where(active, d.efc_pos[row] - d.efc_margin[row], 0.0)
         if stype == SensorType.JOINTLIMITVEL:
+            return jnp.where(active, d.efc_J[row] @ d.qvel, 0.0)
+        return jnp.where(active, d.efc_force[row], 0.0)
+    if stype in (
+        SensorType.TENDONLIMITPOS,
+        SensorType.TENDONLIMITVEL,
+        SensorType.TENDONLIMITFRC,
+    ):
+        row = _tendon_limit_row(s, objid)
+        if row < 0:
+            return jnp.zeros((), d.qpos.dtype)
+        active = d.efc_active[row]
+        if stype == SensorType.TENDONLIMITPOS:
+            return jnp.where(active, d.efc_pos[row] - d.efc_margin[row], 0.0)
+        if stype == SensorType.TENDONLIMITVEL:
             return jnp.where(active, d.efc_J[row] @ d.qvel, 0.0)
         return jnp.where(active, d.efc_force[row], 0.0)
     if stype == SensorType.MAGNETOMETER:

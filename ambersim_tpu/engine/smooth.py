@@ -386,10 +386,15 @@ def _joint_trn_arrays(s):
         scalar_u, scalar_dof, scalar_qa = [], [], []
         other_u = []
         tendon_u, tendon_id = [], []
+        site_u, site_id = [], []
         for u in range(s.nu):
             if int(s.actuator_trntype[u]) == int(TrnType.TENDON):
                 tendon_u.append(u)
                 tendon_id.append(int(s.actuator_trnid[u]))
+                continue
+            if int(s.actuator_trntype[u]) == int(TrnType.SITE):
+                site_u.append(u)
+                site_id.append(int(s.actuator_trnid[u]))
                 continue
             j = int(s.actuator_trnid[u])
             jtype = JointType(int(s.jnt_type[j]))
@@ -406,15 +411,17 @@ def _joint_trn_arrays(s):
             np.asarray(other_u, dtype=np.int32),
             np.asarray(tendon_u, dtype=np.int32),
             np.asarray(tendon_id, dtype=np.int32),
+            np.asarray(site_u, dtype=np.int32),
+            np.asarray(site_id, dtype=np.int32),
         )
     return _MOMENT_CACHE[key]
 
 
 def actuator_moment(m: Model, d: Data) -> jax.Array:
-    """(nu, nv) transmission moment matrix (joint + tendon transmissions)."""
+    """(nu, nv) transmission moment matrix (joint/tendon/site transmissions)."""
     s = m.skel
     moment = jnp.zeros((s.nu, s.nv), d.qpos.dtype)
-    scalar_u, scalar_dof, _, other_u, tendon_u, tendon_id = _joint_trn_arrays(s)
+    scalar_u, scalar_dof, _, other_u, tendon_u, tendon_id, site_u, site_id = _joint_trn_arrays(s)
     if len(scalar_u):
         moment = moment.at[scalar_u, scalar_dof].set(m.actuator_gear[scalar_u, 0])
     for u in other_u:  # free/ball transmissions (rare): gear vector on the joint dofs
@@ -427,6 +434,18 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
         moment = moment.at[tendon_u].set(
             m.actuator_gear[tendon_u, 0, None] * d.ten_J[tendon_id].astype(moment.dtype)
         )
+    for u, sid in zip(site_u, site_id):
+        # site transmission: a wrench gear[:3] (force) / gear[3:] (torque) in
+        # the site frame, applied at the site (mj_transmission SITE, no refsite)
+        u, sid = int(u), int(sid)
+        b = int(s.site_bodyid[sid])
+        Rs = d.site_xmat[sid]
+        fdir = Rs @ m.actuator_gear[u, :3].astype(moment.dtype)
+        tdir = Rs @ m.actuator_gear[u, 3:].astype(moment.dtype)
+        jacp = _site_point_jac(m, d, d.site_xpos[sid], b)  # (nv, 3)
+        sup = jnp.asarray(_body_dof_support(s)[b], moment.dtype)
+        jacr = d.cdof[:, :3] * sup[:, None]
+        moment = moment.at[u].set(jacp @ fdir + jacr @ tdir)
     return moment
 
 
@@ -535,7 +554,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
     ctrl = clamped_ctrl(m, d)
 
-    scalar_u, scalar_dof, scalar_qa, _, tendon_u, tendon_id = _joint_trn_arrays(s)
+    scalar_u, scalar_dof, scalar_qa, _, tendon_u, tendon_id, _, _ = _joint_trn_arrays(s)
     length = jnp.zeros(s.nu, dtype)
     if len(scalar_u):
         length = length.at[scalar_u].set(d.qpos[scalar_qa] * m.actuator_gear[scalar_u, 0])

@@ -93,6 +93,8 @@ class _ChainModel:
             raise NotImplementedError("HostStepper supports free/hinge/slide joints only")
         if getattr(s, "ntendon", 0):
             raise NotImplementedError("HostStepper does not support tendons")
+        if s.nu and (np.asarray(s.actuator_trntype) != 0).any():
+            raise NotImplementedError("HostStepper supports joint transmissions only")
         for b in range(1, s.nbody):
             if int(s.body_jntnum[b]) > 1:
                 raise NotImplementedError("HostStepper requires at most one joint per body")

@@ -149,3 +149,35 @@ def test_tendon_rollout_parity():
         d = stp(model, d.replace(ctrl=ctrl.astype(np.float32)))
         np.testing.assert_allclose(d.qpos, mj_data.qpos, atol=2e-3)
     assert np.abs(np.asarray(d.qpos) - mj_data.qpos).max() < 2e-3
+
+
+TENDON_LIMIT_SENSOR_RIG = """
+<mujoco><option timestep="0.002"/><worldbody>
+  <body pos="0 0 0.5"><joint name="j1" axis="0 1 0" damping="0.02"/><geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.02"/>
+  <body pos="0.2 0 0"><joint name="j2" axis="0 1 0" damping="0.02"/><geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.02"/></body></body>
+</worldbody>
+<tendon><fixed name="t" range="-0.04 0.04"><joint joint="j1" coef="0.05"/><joint joint="j2" coef="0.03"/></fixed></tendon>
+<sensor><tendonlimitpos name="tlp" tendon="t"/><tendonlimitvel name="tlv" tendon="t"/><tendonlimitfrc name="tlf" tendon="t"/></sensor>
+</mujoco>
+"""
+
+
+def test_tendon_limit_sensors():
+    """tendonlimitpos/vel/frc read the tendon's efc limit row (zero when the
+    limit is inactive), matching the oracle."""
+    mj_model, model = _load_pair(TENDON_LIMIT_SENSOR_RIG)
+    mj_data = mujoco.MjData(mj_model)
+    fwd = jax.jit(forward)
+    for q1 in [0.2, 0.6, 1.2, -1.0]:
+        qpos = np.array([q1, 0.3])
+        qvel = np.array([0.5, -0.2])
+        mj_data.qpos[:] = qpos
+        mj_data.qvel[:] = qvel
+        mujoco.mj_forward(mj_model, mj_data)
+        d = make_data(model).replace(
+            qpos=qpos.astype(np.float32), qvel=qvel.astype(np.float32)
+        )
+        d = fwd(model, d)
+        np.testing.assert_allclose(
+            d.sensordata, mj_data.sensordata, rtol=1e-4, atol=1e-6
+        )

@@ -25,3 +25,19 @@ def get_joint_names(model: Model) -> List[str]:
 
 def get_body_names(model: Model) -> List[str]:
     return list(model.skel.body_names)
+
+
+def get_site_names(model: Model) -> List[str]:
+    return list(model.skel.site_names)
+
+
+def get_sensor_names(model: Model) -> List[str]:
+    return list(model.skel.sensor_names)
+
+
+def get_tendon_names(model: Model) -> List[str]:
+    return list(model.skel.tendon_names)
+
+
+def get_hfield_names(model: Model) -> List[str]:
+    return list(model.skel.hfield_names)

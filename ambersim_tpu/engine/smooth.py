@@ -778,47 +778,54 @@ def _wrap_seg(m: Model, d: Data, p1, b1, p2, b2, gid: int, side_sid: int):
     l2, j2 = _straight_seg(m, d, T2w, bg, p2, b2)
     del l1, l2  # wrapped length uses the closed-form L_wrap above
 
-    # interior wrap (sidesite inside the geom, mju_wrap 'wrap_inside'): if the
-    # straight segment misses the disk, the tendon bends at the single circle
-    # point minimizing total length — solved by bisection on the reflection
-    # condition T'(theta) . (u1 + u2) = 0, theta in [0, phi]
-    A2v = jnp.array([la, 0.0])
-    B2v = jnp.array([lb * jnp.cos(phi), lb * jnp.sin(phi)])
-
-    def _h(theta):
-        T = r * jnp.array([jnp.cos(theta), jnp.sin(theta)])
-        u1 = (T - A2v) / jnp.maximum(jnp.linalg.norm(T - A2v), eps)
-        u2 = (T - B2v) / jnp.maximum(jnp.linalg.norm(T - B2v), eps)
-        Tp = jnp.array([-jnp.sin(theta), jnp.cos(theta)])
-        return Tp @ (u1 + u2)
-
-    lo_t, hi_t = jnp.zeros(()), phi
-    h_lo = _h(lo_t)
-    for _ in range(30):
-        mid_t = 0.5 * (lo_t + hi_t)
-        h_mid = _h(mid_t)
-        same = h_mid * h_lo > 0
-        lo_t = jnp.where(same, mid_t, lo_t)
-        h_lo = jnp.where(same, h_mid, h_lo)
-        hi_t = jnp.where(same, hi_t, mid_t)
-    theta_b = 0.5 * (lo_t + hi_t)
-    Tb2 = r * jnp.array([jnp.cos(theta_b), jnp.sin(theta_b)])
-    lenA2 = jnp.linalg.norm(Tb2 - A2v)
-    lenB2 = jnp.linalg.norm(Tb2 - B2v)
-    if is_cyl:
-        z_b = a[2] + (b[2] - a[2]) * lenA2 / jnp.maximum(lenA2 + lenB2, eps)
-        Tb = Tb2[0] * e1 + Tb2[1] * e2 + z_b * jnp.array([0.0, 0.0, 1.0], dtype=dtype)
-    else:
-        Tb = Tb2[0] * e1 + Tb2[1] * e2
-    Tbw = c + R @ Tb
-    lb1, jb1 = _straight_seg(m, d, p1, b1, Tbw, bg)
-    lb2, jb2 = _straight_seg(m, d, Tbw, bg, p2, b2)
-    bend = side_inside & (phi <= alpha_a + alpha_b) & (la > r) & (lb > r)
-
     L_str, J_str = _straight_seg(m, d, p1, b1, p2, b2)
-    wrapped = wrapped & (~side_inside)
-    L = jnp.where(wrapped, L_wrap, jnp.where(bend, lb1 + lb2, L_str))
-    J = jnp.where(wrapped, j1 + j2, jnp.where(bend, jb1 + jb2, J_str))
+
+    if side_sid >= 0:
+        # interior wrap (sidesite inside the geom, mju_wrap 'wrap_inside'):
+        # if the straight segment misses the disk, the tendon bends at the
+        # single circle point minimizing total length — solved by bisection on
+        # the reflection condition T'(theta) . (u1 + u2) = 0, theta in [0, phi].
+        # Only traced when a sidesite exists statically (the mask side_inside
+        # is runtime, but tendons without sidesites can never take this path).
+        A2v = jnp.array([la, 0.0])
+        B2v = jnp.array([lb * jnp.cos(phi), lb * jnp.sin(phi)])
+
+        def _h(theta):
+            T = r * jnp.array([jnp.cos(theta), jnp.sin(theta)])
+            u1 = (T - A2v) / jnp.maximum(jnp.linalg.norm(T - A2v), eps)
+            u2 = (T - B2v) / jnp.maximum(jnp.linalg.norm(T - B2v), eps)
+            Tp = jnp.array([-jnp.sin(theta), jnp.cos(theta)])
+            return Tp @ (u1 + u2)
+
+        lo_t, hi_t = jnp.zeros(()), phi
+        h_lo = _h(lo_t)
+        for _ in range(30):
+            mid_t = 0.5 * (lo_t + hi_t)
+            h_mid = _h(mid_t)
+            same = h_mid * h_lo > 0
+            lo_t = jnp.where(same, mid_t, lo_t)
+            h_lo = jnp.where(same, h_mid, h_lo)
+            hi_t = jnp.where(same, hi_t, mid_t)
+        theta_b = 0.5 * (lo_t + hi_t)
+        Tb2 = r * jnp.array([jnp.cos(theta_b), jnp.sin(theta_b)])
+        lenA2 = jnp.linalg.norm(Tb2 - A2v)
+        lenB2 = jnp.linalg.norm(Tb2 - B2v)
+        if is_cyl:
+            z_b = a[2] + (b[2] - a[2]) * lenA2 / jnp.maximum(lenA2 + lenB2, eps)
+            Tb = Tb2[0] * e1 + Tb2[1] * e2 + z_b * jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+        else:
+            Tb = Tb2[0] * e1 + Tb2[1] * e2
+        Tbw = c + R @ Tb
+        lb1, jb1 = _straight_seg(m, d, p1, b1, Tbw, bg)
+        lb2, jb2 = _straight_seg(m, d, Tbw, bg, p2, b2)
+        bend = side_inside & (phi <= alpha_a + alpha_b) & (la > r) & (lb > r)
+        wrapped = wrapped & (~side_inside)
+        L = jnp.where(wrapped, L_wrap, jnp.where(bend, lb1 + lb2, L_str))
+        J = jnp.where(wrapped, j1 + j2, jnp.where(bend, jb1 + jb2, J_str))
+        return L, J
+
+    L = jnp.where(wrapped, L_wrap, L_str)
+    J = jnp.where(wrapped, j1 + j2, J_str)
     return L, J
 
 

@@ -56,14 +56,16 @@ class MjxEnv(abc.ABC):
         return _forward(self.model, data)
 
     def pipeline_step(self, data: Data, ctrl: jax.Array) -> Data:
-        """Step physics for all substeps under lax.scan (cf. rl/base.py:88-96)."""
+        """Step physics for all substeps (cf. rl/base.py:88-96).
+
+        Uses the minimal-carry rollout: scanning the full Data pytree copies
+        every derived buffer (efc rows, contacts, mass matrices) per substep,
+        which costs real HBM bandwidth at batch 4096+ (~2x step time on the
+        quadruped benchmark)."""
+        from ambersim_tpu.engine.rollout import rollout
+
         data = data.replace(ctrl=ctrl)
-
-        def f(d, _):
-            return _step(self.model, d), None
-
-        data, _ = jax.lax.scan(f, data, None, length=self._physics_steps_per_control_step)
-        return data
+        return rollout(self.model, data, self._physics_steps_per_control_step)
 
     @property
     def dt(self) -> jax.Array:

@@ -12,7 +12,11 @@ sync (see .claude/skills/verify/SKILL.md for why).
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -478,6 +478,8 @@ class Data:
     qfrc_applied: jax.Array  # (nv,)
     xfrc_applied: jax.Array  # (nbody, 6) — (force, torque) at body com, world (MuJoCo layout)
     qacc_warmstart: jax.Array  # (nv,)
+    mocap_pos: jax.Array  # (nmocap, 3) — kinematic target body positions, world frame
+    mocap_quat: jax.Array  # (nmocap, 4)
 
     # kinematics
     xpos: jax.Array  # (nbody, 3)

@@ -4,6 +4,7 @@ ambersim/utils/io_utils.py:226, ambersim/trajopt/shooting.py:34)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ambersim_tpu.core.types import Contact, Data, Model
 
@@ -12,6 +13,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
     """Allocate a fresh single-env Data at qpos0, zero velocity."""
     s = m.skel
     z = lambda *shape: jnp.zeros(shape, dtype)  # noqa: E731
+    mocap_ids = np.asarray(s.mocap_bodyid, np.int32)
     contact = Contact(
         dist=jnp.full((s.ncon,), 1e10, dtype),
         pos=z(s.ncon, 3),
@@ -32,6 +34,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qfrc_applied=z(s.nv),
         xfrc_applied=z(s.nbody, 6),
         qacc_warmstart=z(s.nv),
+        mocap_pos=jnp.asarray(m.body_pos, dtype)[mocap_ids],
+        mocap_quat=jnp.asarray(m.body_quat, dtype)[mocap_ids],
         xpos=z(s.nbody, 3),
         xquat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (s.nbody, 1)),
         xipos=z(s.nbody, 3),

@@ -51,10 +51,18 @@ def kinematics(m: Model, d: Data) -> Data:
     xanchor = jnp.zeros((s.njnt, 3), dtype)
     xaxis = jnp.zeros((s.njnt, 3), dtype)
 
+    # mocap bodies: static world children whose frame comes from d.mocap_pos/
+    # mocap_quat instead of the compiled body_pos/quat (mjData.mocap_* role)
+    body_pos, body_quat = m.body_pos, m.body_quat
+    if s.nmocap:
+        mid = s.mocap_bodyid
+        body_pos = jnp.asarray(body_pos, dtype).at[mid].set(d.mocap_pos)
+        body_quat = jnp.asarray(body_quat, dtype).at[mid].set(am.normalize_quat(d.mocap_quat))
+
     for level in sched.levels:
         for sig, ids, parents, jnt_slots in level:
-            pos = xpos[parents] + am.rotate(m.body_pos[ids], xquat[parents])
-            quat = am.mul_quat(xquat[parents], m.body_quat[ids])
+            pos = xpos[parents] + am.rotate(body_pos[ids], xquat[parents])
+            quat = am.mul_quat(xquat[parents], body_quat[ids])
             for slot, jtype_int in enumerate(sig):
                 jids = jnt_slots[slot]
                 jtype = JointType(jtype_int)

@@ -131,18 +131,15 @@ def _elliptic_W(m: Model, d: Data, jar: jax.Array):
     return out
 
 
-def _row_costs(m: Model, d: Data, jar: jax.Array):
-    """Per-row cost, force (negative gradient dcost/djar), and quadratic mask."""
-    s = m.skel
-    ne, nf, nl = s.ne, s.nf, s.nl
-    D = d.efc_D
-    fl = d.efc_frictionloss
-    active = d.efc_active
-
-    is_eq = jnp.arange(s.nefc) < ne
-    is_fric = (jnp.arange(s.nefc) >= ne) & (jnp.arange(s.nefc) < ne + nf)
-    # limits + contacts: one-sided
+def _row_costs_pure(jar: jax.Array, D, fl, active, ne: int, nf: int):
+    """Per-row cost/force/quad-mask for pyramidal-cone rows, on plain arrays
+    (shared by the jnp path and the Pallas dispatch fallback)."""
+    nefc = jar.shape[-1]
+    idx = jnp.arange(nefc)
+    is_eq = idx < ne
+    is_fric = (idx >= ne) & (idx < ne + nf)
     one_sided = ~(is_eq | is_fric)
+    act_b = active if active.dtype == jnp.bool_ else active > 0.5
 
     quad_cost = 0.5 * D * jar * jar
     quad_force = -D * jar
@@ -153,10 +150,19 @@ def _row_costs(m: Model, d: Data, jar: jax.Array):
     fric_force = jnp.where(lin, -jnp.sign(jar) * fl, quad_force)
 
     gated = jnp.where(one_sided, jar < 0, True)
-    cost = jnp.where(is_fric, fric_cost, quad_cost) * gated * active
-    force = jnp.where(is_fric, fric_force, quad_force) * gated * active
+    cost = jnp.where(is_fric, fric_cost, quad_cost) * gated * act_b
+    force = jnp.where(is_fric, fric_force, quad_force) * gated * act_b
     # rows contributing to the Hessian (quadratic region only)
-    quad = jnp.where(is_fric, ~lin, gated) & active
+    quad = jnp.where(is_fric, ~lin, gated) & act_b
+    return cost, force, quad
+
+
+def _row_costs(m: Model, d: Data, jar: jax.Array):
+    """Per-row cost, force (negative gradient dcost/djar), and quadratic mask."""
+    s = m.skel
+    cost, force, quad = _row_costs_pure(
+        jar, d.efc_D, d.efc_frictionloss, d.efc_active, s.ne, s.nf
+    )
 
     if _is_elliptic(m):
         # overwrite contact block rows with the cone-projection cost/force;
@@ -228,7 +234,160 @@ def solve(m: Model, d: Data) -> Data:
     return _solve_newton(m, d)
 
 
+def _newton_arrays_jnp(J, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterations, ls_iterations, use_ws):
+    """Unbatched Newton on plain arrays (pyramidal cones only) — the primal
+    of the custom_vmap dispatch and the non-TPU fallback. Mirrors the Pallas
+    kernel (ops/newton_pallas.py) op for op."""
+    from ambersim_tpu.engine import linalg
+
+    nv = a_s.shape[-1]
+    dtype = a_s.dtype
+
+    def total_cost(qacc, jar):
+        dacc = qacc - a_s
+        cost, _, _ = _row_costs_pure(jar, D, fl, act, ne, nf)
+        return 0.5 * dacc @ (qM @ dacc) + jnp.sum(cost)
+
+    jar_s = J @ a_s - aref
+    cost_s = total_cost(a_s, jar_s)
+    qacc, jar, cost = a_s, jar_s, cost_s
+    if use_ws:
+        jar_w = J @ ws - aref
+        cost_w = total_cost(ws, jar_w)
+        better = cost_w < cost_s
+        qacc = jnp.where(better, ws, a_s)
+        jar = jnp.where(better, jar_w, jar_s)
+        cost = jnp.where(better, cost_w, cost_s)
+
+    def body(carry):
+        qacc, jar, cost, prev_cost = carry
+        _, force, quad = _row_costs_pure(jar, D, fl, act, ne, nf)
+        Mdacc = qM @ (qacc - a_s)
+        grad = Mdacc - J.T @ force
+        h_diag = jnp.where(quad, D, 0.0)
+        H = qM + jnp.einsum("iv,i,iw->vw", J, h_diag, J) + 1e-8 * jnp.eye(nv, dtype=dtype)
+        p = -linalg.solve_pd(H, grad)
+        jp = J @ p
+
+        mp = qM @ p
+        pmp = p @ mp
+        pma = p @ Mdacc
+
+        def ls_body(_, t):
+            jart = jar + t * jp
+            _, force_t, quad_t = _row_costs_pure(jart, D, fl, act, ne, nf)
+            g = pma + t * pmp - jnp.sum(force_t * jp)
+            hh = pmp + jnp.sum(jnp.where(quad_t, D * jp * jp, 0.0))
+            return t - g / jnp.maximum(hh, 1e-12)
+
+        nls = max(ls_iterations, 1)
+        t = jnp.zeros((), dtype)
+        if nls <= 8:
+            for _ls in range(nls):
+                t = ls_body(0, t)
+        else:
+            t = jax.lax.fori_loop(0, nls, ls_body, t)
+        t = jnp.clip(t, 0.0, 4.0)
+
+        qacc_n = qacc + t * p
+        jar_n = jar + t * jp
+        cost_n = total_cost(qacc_n, jar_n)
+        improved = cost_n < cost
+        active_it = prev_cost - cost > tol
+        take = improved & active_it
+        qacc = jnp.where(take, qacc_n, qacc)
+        jar = jnp.where(take, jar_n, jar)
+        prev_cost = jnp.where(active_it, cost, prev_cost)
+        cost = jnp.where(take, cost_n, cost)
+        return qacc, jar, cost, prev_cost
+
+    # unroll short iteration counts (straight-line code fuses best); scan the
+    # long tail so trace/lowering stays bounded (MuJoCo defaults are 100/50)
+    carry = (qacc, jar, cost, jnp.asarray(jnp.inf, dtype))
+    if iterations <= 8:
+        for _ in range(iterations):
+            carry = body(carry)
+    else:
+        carry = jax.lax.scan(lambda c, _: (body(c), None), carry, None, length=iterations)[0]
+    qacc, jar = carry[0], carry[1]
+
+    _, force, _ = _row_costs_pure(jar, D, fl, act, ne, nf)
+    return qacc, force
+
+
+_DISPATCH_CACHE: dict = {}
+
+
+def _newton_dispatch(ne: int, nf: int, iterations: int, ls_iterations: int, use_ws: bool):
+    """custom_vmap entry: per-env calls run the jnp path; vmapped calls on TPU
+    collapse the whole Newton solve into one Pallas kernel per 128-env tile."""
+    key = (ne, nf, iterations, ls_iterations, use_ws)
+    if key in _DISPATCH_CACHE:
+        return _DISPATCH_CACHE[key]
+
+    import functools
+
+    statics = dict(
+        ne=ne, nf=nf, iterations=iterations, ls_iterations=ls_iterations, use_ws=use_ws
+    )
+    primal = functools.partial(_newton_arrays_jnp, **statics)
+
+    @jax.custom_batching.custom_vmap
+    def fn(J, qM, aref, D, fl, act, a_s, ws, tol):
+        return primal(J, qM, aref, D, fl, act, a_s, ws, tol)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, J, qM, aref, D, fl, act, a_s, ws, tol):
+        args = [J, qM, aref, D, fl, act, a_s, ws]
+        args = [
+            x if bd else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, bd in zip(args, in_batched[:8])
+        ]
+        J, qM, aref, D, fl, act, a_s, ws = args
+        if in_batched[8]:
+            tol = tol[0]  # tolerance is env-invariant
+        if jax.devices()[0].platform == "tpu" and J.ndim == 3:
+            from ambersim_tpu.ops.newton_pallas import newton_solve_batched
+
+            out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **statics)
+        else:
+            out = jax.vmap(primal, in_axes=(0,) * 8 + (None,))(J, qM, aref, D, fl, act, a_s, ws, tol)
+        return out, (True, True)
+
+    _DISPATCH_CACHE[key] = fn
+    return fn
+
+
 def _solve_newton(m: Model, d: Data) -> Data:
+    s = m.skel
+    if not _is_elliptic(m):
+        # pyramidal path: fused dispatch (one Pallas kernel per tile on TPU)
+        iters = int(max(m.opt.iterations, 1))
+        ls = int(max(m.opt.ls_iterations, 1))
+        use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
+        tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
+        fn = _newton_dispatch(int(s.ne), int(s.nf), iters, ls, bool(use_ws))
+        qacc, force = fn(
+            d.efc_J,
+            d.qM,
+            d.efc_aref,
+            d.efc_D,
+            d.efc_frictionloss,
+            d.efc_active.astype(d.qpos.dtype),
+            d.qacc_smooth,
+            d.qacc_warmstart,
+            tol,
+        )
+        return d.replace(
+            qacc=qacc,
+            qfrc_constraint=d.efc_J.T @ force,
+            efc_force=force,
+            qacc_warmstart=qacc,
+        )
+    return _solve_newton_elliptic(m, d)
+
+
+def _solve_newton_elliptic(m: Model, d: Data) -> Data:
     s = m.skel
     dtype = d.qpos.dtype
 

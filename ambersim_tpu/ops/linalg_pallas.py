@@ -27,12 +27,16 @@ TILE = 128
 
 
 def _chol_columns(a, n):
-    """Shared in-kernel Cholesky: a is (n, n, TB); returns L as (n, n, TB)."""
+    """Shared in-kernel Cholesky: a is (n, n, TB); returns L as (n, n, TB).
+
+    Divisions are the latency bottleneck of the column sweep (the rest is
+    mults/adds): one reciprocal per column on the (TB,) diagonal replaces the
+    (n, TB)-wide divide."""
     cols = []
     row_ge = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     for j in range(n):
-        d = jnp.sqrt(jnp.maximum(a[j, j], 1e-12))  # (TB,)
-        col = a[:, j] / d[None, :]  # (n, TB)
+        dinv = jax.lax.rsqrt(jnp.maximum(a[j, j], 1e-12))  # (TB,)
+        col = a[:, j] * dinv[None, :]  # (n, TB)
         col = jnp.where(row_ge >= j, col, 0.0)
         cols.append(col)
         a = a - col[:, None, :] * col[None, :, :]
@@ -43,17 +47,19 @@ def _solve_from_l(l, b, n):
     """Forward+backward substitution; l (n, n, TB), b (n, TB) -> x (n, TB).
 
     Column-sweep form: each of the 2n steps is one full-width vector op
-    (instead of O(n^2) scalar updates), keeping the Mosaic graph small."""
+    (instead of O(n^2) scalar updates), keeping the Mosaic graph small.
+    Diagonal reciprocals are hoisted so both sweeps are multiply-only."""
+    dinv = [1.0 / l[j, j] for j in range(n)]  # (TB,) each
     y = b
     ys = []
     for j in range(n):
-        yj = y[j] / l[j, j]  # (TB,)
+        yj = y[j] * dinv[j]  # (TB,)
         ys.append(yj)
         y = y - l[:, j] * yj[None, :]
     x = jnp.stack(ys, axis=0)
     xs = [None] * n
     for j in range(n - 1, -1, -1):
-        xj = x[j] / l[j, j]
+        xj = x[j] * dinv[j]
         xs[j] = xj
         x = x - l[j, :] * xj[None, :]  # row j of L = column j of L^T
     return jnp.stack(xs, axis=0)

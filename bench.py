@@ -110,8 +110,11 @@ def main():
 def _diagnostics(model, batch, warm, ctrl_fn, steps_per_sec, rollout_s):
     """Phase breakdown + roofline for the benchmark step (VERDICT.md #6)."""
     import functools
+    import importlib
 
-    from ambersim_tpu.engine import forward as F
+    # engine/__init__ re-exports the `forward` *function*, which shadows the
+    # submodule on attribute lookup — import the module explicitly
+    F = importlib.import_module("ambersim_tpu.engine.forward")
     from ambersim_tpu.engine import collision as C
     from ambersim_tpu.engine import constraint as K
     from ambersim_tpu.engine import integrate as I
@@ -134,8 +137,8 @@ def _diagnostics(model, batch, warm, ctrl_fn, steps_per_sec, rollout_s):
             cost = cost[0]
         flops = cost.get("flops")
         bytes_accessed = cost.get("bytes accessed")
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"[bench] cost_analysis unavailable: {type(e).__name__}: {e}", file=err)
 
     if flops:
         flops_per_env_step = flops / NUM_ENVS

@@ -41,10 +41,16 @@ def neg_quat(q: jax.Array) -> jax.Array:
 
 
 def normalize_quat(q: jax.Array) -> jax.Array:
-    """Normalize to unit quaternion; maps the zero quaternion to identity."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    """Normalize to unit quaternion; maps the zero quaternion to identity.
+
+    Gradient-safe at q = 0: the norm is computed on a where-guarded operand so
+    reverse-mode autodiff through the untaken branch stays finite (the
+    double-where pattern; a bare norm(0) has a NaN vjp)."""
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    good = n2 > 1e-24
+    norm = jnp.sqrt(jnp.where(good, n2, 1.0))
     unit = jnp.zeros_like(q).at[..., 0].set(1.0)
-    return jnp.where(norm > 1e-12, q / jnp.maximum(norm, 1e-12), unit)
+    return jnp.where(good, q / norm, unit)
 
 
 def rotate(vec: jax.Array, quat: jax.Array) -> jax.Array:
@@ -114,12 +120,17 @@ def quat_integrate(q: jax.Array, omega: jax.Array, dt) -> jax.Array:
     Matches MuJoCo ``mju_quatIntegrate``: q <- q * exp(omega * dt / 2) where
     omega is expressed in the child (local) frame. Branch-free small-angle form.
     """
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True) * dt
-    safe = jnp.maximum(theta, 1e-12)
-    axis = omega * dt / safe
+    # gradient-safe small-angle form: axis*sin(theta/2) = omega*dt*sinc-like
+    # factor, with the norm taken on a where-guarded operand so autodiff at
+    # omega = 0 stays finite (double-where pattern)
+    t2 = jnp.sum(omega * omega, axis=-1, keepdims=True) * (dt * dt)
+    good = t2 > 1e-24
+    theta = jnp.sqrt(jnp.where(good, t2, 1.0))
     half = 0.5 * theta
-    sin_half = jnp.where(theta > 1e-10, jnp.sin(half), half)
-    dq = jnp.concatenate([jnp.cos(half), axis * sin_half], axis=-1)
+    # sin(theta/2)/theta, with its Taylor series 1/2 - theta^2/48 at 0
+    sinc_half = jnp.where(good, jnp.sin(half) / theta, 0.5 - t2 / 48.0)
+    cos_half = jnp.where(good, jnp.cos(half), 1.0 - t2 / 8.0)
+    dq = jnp.concatenate([cos_half, omega * dt * sinc_half], axis=-1)
     return normalize_quat(mul_quat(q, dq))
 
 
@@ -128,10 +139,14 @@ def quat_sub(qa: jax.Array, qb: jax.Array) -> jax.Array:
     qa = qb * exp(v/2) (local frame), matching MuJoCo mju_subQuat."""
     dq = mul_quat(neg_quat(qb), qa)
     dq = jnp.where(dq[..., :1] < 0, -dq, dq)  # shortest arc
-    sin_half = jnp.linalg.norm(dq[..., 1:], axis=-1, keepdims=True)
+    # gradient-safe at dq = identity (double-where on the vector norm): the
+    # small-angle branch v = 2*dq_vec has the exact limit derivative
+    s2 = jnp.sum(dq[..., 1:] * dq[..., 1:], axis=-1, keepdims=True)
+    good = s2 > 1e-24
+    sin_half = jnp.sqrt(jnp.where(good, s2, 1.0))
     angle = 2.0 * jnp.arctan2(sin_half[..., 0], dq[..., 0])[..., None]
-    axis = dq[..., 1:] / jnp.maximum(sin_half, 1e-12)
-    return jnp.where(sin_half > 1e-12, axis * angle, 2.0 * dq[..., 1:])
+    axis = dq[..., 1:] / sin_half
+    return jnp.where(good, axis * angle, 2.0 * dq[..., 1:])
 
 
 # ---------------------------------------------------------------------------

@@ -66,17 +66,20 @@ def cho_solve_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Public entry points: custom_vmap dispatch to fused Pallas kernels on TPU
+# Public entry points: custom_vmap dispatch to fused Pallas kernels on TPU,
+# wrapped in custom_vjp so reverse-mode autodiff flows through `step`
+# (differentiable simulation). The backward pass re-derives gradients via
+# jax.vjp of the unrolled jnp implementation — exact for the same algorithm;
+# the Pallas kernels stay on the forward hot path.
 # ---------------------------------------------------------------------------
 
 
 @jax.custom_batching.custom_vmap
-def cholesky(a: jax.Array) -> jax.Array:
-    """Lower Cholesky of an SPD matrix; batched calls fuse on TPU."""
+def _cholesky_cv(a: jax.Array) -> jax.Array:
     return cholesky_unrolled(a)
 
 
-@cholesky.def_vmap
+@_cholesky_cv.def_vmap
 def _cholesky_vmap(axis_size, in_batched, a):
     if not in_batched[0]:
         a = jnp.broadcast_to(a, (axis_size,) + a.shape)
@@ -88,12 +91,11 @@ def _cholesky_vmap(axis_size, in_batched, a):
 
 
 @jax.custom_batching.custom_vmap
-def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve A x = b given the lower Cholesky factor; batched calls fuse on TPU."""
+def _cho_solve_cv(l: jax.Array, b: jax.Array) -> jax.Array:
     return cho_solve_unrolled(l, b)
 
 
-@cho_solve.def_vmap
+@_cho_solve_cv.def_vmap
 def _cho_solve_vmap(axis_size, in_batched, l, b):
     if not in_batched[0]:
         l = jnp.broadcast_to(l, (axis_size,) + l.shape)
@@ -107,12 +109,11 @@ def _cho_solve_vmap(axis_size, in_batched, l, b):
 
 
 @jax.custom_batching.custom_vmap
-def solve_pd(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve SPD system A x = b; batched calls fuse into one TPU kernel."""
+def _solve_pd_cv(a: jax.Array, b: jax.Array) -> jax.Array:
     return cho_solve_unrolled(cholesky_unrolled(a), b)
 
 
-@solve_pd.def_vmap
+@_solve_pd_cv.def_vmap
 def _solve_pd_vmap(axis_size, in_batched, a, b):
     if not in_batched[0]:
         a = jnp.broadcast_to(a, (axis_size,) + a.shape)
@@ -123,3 +124,33 @@ def _solve_pd_vmap(axis_size, in_batched, a, b):
 
         return solve_pd_batched(a, b), True
     return cho_solve_unrolled(cholesky_unrolled(a), b), True
+
+
+def differentiable_dispatch(cv_fn, ref_fn):
+    """custom_vjp wrapper over a custom_vmap dispatch: forward takes the fast
+    path (Pallas under vmap on TPU), backward re-runs jax.vjp of the pure jnp
+    reference implementation `ref_fn` (vmap-compatible, differentiable)."""
+
+    @jax.custom_vjp
+    def fn(*args):
+        return cv_fn(*args)
+
+    def fwd(*args):
+        return cv_fn(*args), args
+
+    def bwd(args, g):
+        _, vjp_fn = jax.vjp(ref_fn, *args)
+        return vjp_fn(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+cholesky = differentiable_dispatch(_cholesky_cv, cholesky_unrolled)
+cholesky.__doc__ = "Lower Cholesky of an SPD matrix; batched calls fuse on TPU."
+cho_solve = differentiable_dispatch(_cho_solve_cv, cho_solve_unrolled)
+cho_solve.__doc__ = "Solve A x = b given the lower Cholesky factor; batched calls fuse on TPU."
+solve_pd = differentiable_dispatch(
+    _solve_pd_cv, lambda a, b: cho_solve_unrolled(cholesky_unrolled(a), b)
+)
+solve_pd.__doc__ = "Solve SPD system A x = b; batched calls fuse into one TPU kernel."

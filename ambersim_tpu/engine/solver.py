@@ -354,8 +354,13 @@ def _newton_dispatch(ne: int, nf: int, iterations: int, ls_iterations: int, use_
             out = jax.vmap(primal, in_axes=(0,) * 8 + (None,))(J, qM, aref, D, fl, act, a_s, ws, tol)
         return out, (True, True)
 
-    _DISPATCH_CACHE[key] = fn
-    return fn
+    from ambersim_tpu.engine.linalg import differentiable_dispatch
+
+    # reverse-mode autodiff (differentiable simulation) flows through the
+    # pure jnp Newton; the Pallas kernel stays on the forward hot path
+    fn_diff = differentiable_dispatch(fn, primal)
+    _DISPATCH_CACHE[key] = fn_diff
+    return fn_diff
 
 
 def _solve_newton(m: Model, d: Data) -> Data:

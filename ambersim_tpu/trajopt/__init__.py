@@ -1,5 +1,6 @@
 from ambersim_tpu.trajopt.base import CostFunction, TrajectoryOptimizer, TrajectoryOptimizerParams  # noqa: F401
 from ambersim_tpu.trajopt.cost import StaticGoalQuadraticCost  # noqa: F401
+from ambersim_tpu.trajopt.gradient import GradientShootingOptimizer  # noqa: F401
 from ambersim_tpu.trajopt.shooting import (  # noqa: F401
     ShootingParams,
     VanillaPredictiveSampler,

@@ -117,6 +117,11 @@ def test_crossed_box_stacking():
     mj_model, model = _pair(CROSSED)
     mj_data = mujoco.MjData(mj_model)
     d = make_data(model)
+    # break the exact 90-degree crossing symmetry (identically in both
+    # engines): the unperturbed input is a measure-zero degenerate tie for
+    # the edge-edge manifold where last-ulp rounding decides the outcome
+    mj_data.qpos[0] += 1e-5
+    d = d.replace(qpos=d.qpos.at[0].add(1e-5))
     stp = jax.jit(step)
     for _ in range(400):
         mujoco.mj_step(mj_model, mj_data)

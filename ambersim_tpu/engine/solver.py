@@ -312,7 +312,7 @@ def _newton_arrays_jnp(J, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterati
     qacc, jar = carry[0], carry[1]
 
     _, force, _ = _row_costs_pure(jar, D, fl, act, ne, nf)
-    return qacc, force
+    return qacc, force, J.T @ force
 
 
 _DISPATCH_CACHE: dict = {}
@@ -352,7 +352,7 @@ def _newton_dispatch(ne: int, nf: int, iterations: int, ls_iterations: int, use_
             out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **statics)
         else:
             out = jax.vmap(primal, in_axes=(0,) * 8 + (None,))(J, qM, aref, D, fl, act, a_s, ws, tol)
-        return out, (True, True)
+        return out, (True, True, True)
 
     from ambersim_tpu.engine.linalg import differentiable_dispatch
 
@@ -372,7 +372,7 @@ def _solve_newton(m: Model, d: Data) -> Data:
         use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
         tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
         fn = _newton_dispatch(int(s.ne), int(s.nf), iters, ls, bool(use_ws))
-        qacc, force = fn(
+        qacc, force, qfrc = fn(
             d.efc_J,
             d.qM,
             d.efc_aref,
@@ -385,7 +385,7 @@ def _solve_newton(m: Model, d: Data) -> Data:
         )
         return d.replace(
             qacc=qacc,
-            qfrc_constraint=d.efc_J.T @ force,
+            qfrc_constraint=qfrc,
             efc_force=force,
             qacc_warmstart=qacc,
         )

@@ -43,7 +43,7 @@ def _row_masks(nefc: int, ne: int, nf: int, dtype):
 
 def _newton_kernel(
     J_ref, M_ref, aref_ref, D_ref, fl_ref, act_ref, as_ref, ws_ref, tol_ref,
-    qacc_ref, force_ref,
+    qacc_ref, force_ref, qfrc_ref,
     *, ne: int, nf: int, iterations: int, ls_iterations: int, use_ws: bool,
 ):
     nefc, n, B = J_ref.shape
@@ -179,6 +179,7 @@ def _newton_kernel(
     force, _ = force_quadD(jar)
     qacc_ref[...] = qacc
     force_ref[...] = force
+    qfrc_ref[...] = jtmul(force)  # qfrc_constraint = J^T f, while J is in VMEM
 
 
 def newton_solve_batched(
@@ -200,7 +201,8 @@ def newton_solve_batched(
     interpret: bool = False,
     tile: int | None = None,
 ):
-    """Returns (qacc (Bt, nv), force (Bt, nefc)). Pads the batch to the tile."""
+    """Returns (qacc (Bt, nv), force (Bt, nefc), qfrc_constraint (Bt, nv)).
+    Pads the batch to the tile."""
     b, nefc, n = J.shape
     dtype = J.dtype
     if tile is None:
@@ -259,21 +261,24 @@ def newton_solve_batched(
         ls_iterations=ls_iterations,
         use_ws=use_ws,
     )
-    qacc_t, force_t = pl.pallas_call(
+    qacc_t, force_t, qfrc_t = pl.pallas_call(
         kernel,
         grid=(bp // tile,),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((nefc, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, bp), dtype),
             jax.ShapeDtypeStruct((nefc, bp), dtype),
+            jax.ShapeDtypeStruct((n, bp), dtype),
         ),
         interpret=interpret,
     )(*args)
     return (
         jnp.moveaxis(qacc_t[:, :b], -1, 0),
         jnp.moveaxis(force_t[:, :b], -1, 0),
+        jnp.moveaxis(qfrc_t[:, :b], -1, 0),
     )

@@ -67,7 +67,7 @@ def test_pallas_newton_matches_jnp():
     iters = int(max(m.opt.iterations, 1))
     ls = int(max(m.opt.ls_iterations, 1))
     tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
-    qacc, force = newton_solve_batched(
+    qacc, force, qfrc = newton_solve_batched(
         batch.efc_J,
         batch.qM,
         batch.efc_aref,
@@ -88,4 +88,7 @@ def test_pallas_newton_matches_jnp():
     np.testing.assert_allclose(np.asarray(qacc), np.asarray(ref.qacc), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(force), np.asarray(ref.efc_force), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(qfrc), np.asarray(ref.qfrc_constraint), rtol=1e-4, atol=1e-4
     )

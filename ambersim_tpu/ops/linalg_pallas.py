@@ -39,7 +39,15 @@ def _chol_columns(a, n):
         col = a[:, j] * dinv[None, :]  # (n, TB)
         col = jnp.where(row_ge >= j, col, 0.0)
         cols.append(col)
-        a = a - col[:, None, :] * col[None, :, :]
+        # col is zero in rows < j, so col x col^T is nonzero only in the
+        # trailing (rows >= j, cols >= j) block; restrict the update to the
+        # sublane-aligned block containing it to skip all-zero tiles.
+        j0 = (j // 8) * 8
+        if j0 > 0:
+            upd = col[j0:, None, :] * col[None, j0:, :]
+            a = a.at[j0:, j0:].add(-upd)
+        else:
+            a = a - col[:, None, :] * col[None, :, :]
     return jnp.stack(cols, axis=1)  # (n, n, TB), column j at [:, j]
 
 

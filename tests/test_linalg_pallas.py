@@ -1,0 +1,54 @@
+"""Unit tests for the in-kernel linalg helpers (ops/linalg_pallas.py).
+
+_chol_columns/_solve_from_l are plain jnp column sweeps (the Mosaic kernels
+call them on VMEM-resident arrays), so their math is testable directly on
+CPU at sizes large enough to exercise the sublane-aligned block-restricted
+rank-1 updates (n > 8) and the lower-triangle-only input contract the fused
+Newton kernel relies on.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ambersim_tpu.ops.linalg_pallas import _chol_columns, _solve_from_l
+
+N = 18  # > 2 sublane tiles: exercises the j0 = 8 and j0 = 16 update blocks
+B = 4
+
+
+def _random_spd(key, n, b):
+    a = jax.random.normal(key, (b, n, n))
+    spd = a @ jnp.swapaxes(a, -1, -2) + n * jnp.eye(n)
+    return jnp.moveaxis(spd, 0, -1)  # (n, n, B) batch-last kernel layout
+
+
+def test_chol_columns_matches_numpy():
+    a = _random_spd(jax.random.PRNGKey(0), N, B)
+    l = _chol_columns(a, N)
+    ref = np.linalg.cholesky(np.moveaxis(np.asarray(a), -1, 0))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(l), -1, 0), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_chol_columns_ignores_upper_triangle():
+    """The fused Newton kernel assembles only the lower triangle of H; the
+    sweep must never read above the diagonal."""
+    a = _random_spd(jax.random.PRNGKey(1), N, B)
+    tril = jnp.tril(jnp.ones((N, N)))[:, :, None]
+    garbage = 1e6 * jax.random.normal(jax.random.PRNGKey(2), a.shape)
+    a_low = a * tril + garbage * (1.0 - tril)
+    l_full = _chol_columns(a, N)
+    l_low = _chol_columns(a_low, N)
+    np.testing.assert_allclose(np.asarray(l_low), np.asarray(l_full), rtol=1e-6, atol=1e-6)
+
+
+def test_solve_from_l_matches_numpy():
+    a = _random_spd(jax.random.PRNGKey(3), N, B)
+    b = jax.random.normal(jax.random.PRNGKey(4), (N, B))
+    l = _chol_columns(a, N)
+    x = _solve_from_l(l, b, N)
+    a_np = np.moveaxis(np.asarray(a), -1, 0)
+    b_np = np.moveaxis(np.asarray(b), -1, 0)
+    ref = np.stack([np.linalg.solve(a_np[i], b_np[i]) for i in range(B)])
+    np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0), ref, rtol=1e-4, atol=1e-5)

@@ -38,12 +38,10 @@ def _pre_solve(m, d):
     return smooth.fwd_acceleration(m, d)
 
 
-def test_pallas_newton_matches_jnp():
-    from ambersim_tpu.engine.setconst import set_constants
-
-    m = set_constants(compile_spec(parse_mjcf_string(CONTACT_SCENE)))
+def _run_parity(m, check_rows=True):
     s = m.skel
-    assert s.ne > 0 and s.nf > 0 and s.nl > 0  # all row families exercised
+    if check_rows:
+        assert s.ne > 0 and s.nf > 0 and s.nl > 0  # all row families exercised
 
     nq, nv = s.nq, s.nv
     B = 20  # deliberately not a multiple of the 128 tile: exercises padding
@@ -92,3 +90,17 @@ def test_pallas_newton_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(qfrc), np.asarray(ref.qfrc_constraint), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_newton_matches_jnp():
+    from ambersim_tpu.engine.setconst import set_constants
+
+    _run_parity(set_constants(compile_spec(parse_mjcf_string(CONTACT_SCENE))))
+
+
+def test_pallas_newton_quadruped_nv18():
+    """nv = 18 > 2 sublane tiles: exercises the lower-triangle Hessian
+    assembly padding and the aligned-block Cholesky updates (j0 = 8, 16)."""
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    _run_parity(load_model_from_file("models/quadruped/quadruped.xml"), check_rows=False)

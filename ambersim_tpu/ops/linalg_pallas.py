@@ -42,10 +42,16 @@ def _chol_columns(a, n):
         # col is zero in rows < j, so col x col^T is nonzero only in the
         # trailing (rows >= j, cols >= j) block; restrict the update to the
         # sublane-aligned block containing it to skip all-zero tiles.
+        # (Mosaic notes: slice the 2D col BEFORE expanding dims — a fused
+        # expand+offset-slice on the sublane dim of a 3D value lowers to an
+        # unsupported gather; .at[].add / dynamic_update_slice are likewise
+        # unsupported, hence the concatenate reassembly.)
         j0 = (j // 8) * 8
         if j0 > 0:
-            upd = col[j0:, None, :] * col[None, j0:, :]
-            a = a.at[j0:, j0:].add(-upd)
+            cs = col[j0:]  # (n - j0, TB)
+            upd = cs[:, None, :] * cs[None, :, :]
+            bot = jnp.concatenate([a[j0:, :j0], a[j0:, j0:] - upd], axis=1)
+            a = jnp.concatenate([a[:j0], bot], axis=0)
         else:
             a = a - col[:, None, :] * col[None, :, :]
     return jnp.stack(cols, axis=1)  # (n, n, TB), column j at [:, j]

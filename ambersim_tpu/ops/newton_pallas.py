@@ -126,17 +126,13 @@ def _newton_kernel(
         grad = Mdacc - jtmul(force)  # (n, B)
         Jh = J * h[:, None, :]  # (nefc, n, B)
         # H[v, w] = M[v, w] + sum_i Jh[i, v] * J[i, w] — lane-parallel over envs.
-        # _chol_columns never reads the upper triangle (column j is masked to
-        # rows >= j and the rank-1 updates only touch rows >= j), so assemble
-        # only w <= v: the J slice drops whole sublane tiles for early rows,
-        # ~1.8x fewer vector ops at nv ~ 18 than the full (n, n) product.
-        rows = []
-        for v in range(n):
-            r = (Jh[:, v : v + 1, :] * J[:, : v + 1, :]).sum(axis=0)  # (v+1, B)
-            if v + 1 < n:
-                r = jnp.pad(r, ((0, n - v - 1), (0, 0)))
-            rows.append(r)
-        H = M + eye_reg + jnp.stack(rows, axis=0)  # (n, n, B), lower tri exact
+        # Note: _chol_columns only reads the lower triangle, but assembling
+        # just w <= v per row (sliced J + pad) measured SLOWER on chip
+        # (5.43 vs 5.24 ms/step on the quadruped bench) — the ragged
+        # pads/concats cost more than the skipped sublane tiles at nv = 18.
+        H = M + eye_reg
+        rows = [(Jh[:, v : v + 1, :] * J).sum(axis=0) for v in range(n)]
+        H = H + jnp.stack(rows, axis=0)  # (n, n, B)
         L = _chol_columns(H, n)
         p = -_solve_from_l(L, grad, n)  # (n, B)
         jp = jmul(p)

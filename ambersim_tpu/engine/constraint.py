@@ -79,16 +79,38 @@ def _geom_support(s) -> np.ndarray:
     return _CACHE[key]
 
 
-def _point_jac(m: Model, d: Data, pos: jax.Array, signed_support: jax.Array) -> jax.Array:
+def _point_jac_rows(m: Model, d: Data, pos: jax.Array, signed_support: jax.Array):
     """Translational jacobian of relative velocity at world points.
 
-    pos: (n, 3) points; signed_support: (n, nv). Returns (n, nv, 3)."""
+    pos: (n, 3) points; signed_support: (n, nv). Returns a list of three
+    (n, nv) arrays, one per world axis. Component form on purpose: a trailing
+    length-3 axis under the big env vmap makes XLA tile the 3 onto the lane
+    dim and pay relayout copies around every op (profiled at ~0.4 ms/step on
+    the quadruped bench); (n, nv) arrays stay in one layout throughout."""
     s = m.skel
     origin = d.subtree_com[s.body_rootid[s.dof_bodyid]]  # (nv, 3)
-    ang = d.cdof[:, :3]
-    lin = d.cdof[:, 3:]
-    jacp = lin[None] + jnp.cross(ang[None], pos[:, None, :] - origin[None])  # (n, nv, 3)
-    return jacp * signed_support[..., None]
+    ax, ay, az = d.cdof[:, 0], d.cdof[:, 1], d.cdof[:, 2]  # (nv,) each
+    rx = pos[:, 0:1] - origin[:, 0][None]  # (n, nv)
+    ry = pos[:, 1:2] - origin[:, 1][None]
+    rz = pos[:, 2:3] - origin[:, 2][None]
+    jx = d.cdof[:, 3][None] + ay[None] * rz - az[None] * ry
+    jy = d.cdof[:, 4][None] + az[None] * rx - ax[None] * rz
+    jz = d.cdof[:, 5][None] + ax[None] * ry - ay[None] * rx
+    return [jx * signed_support, jy * signed_support, jz * signed_support]
+
+
+def _frame_rows(frame: jax.Array, jac_rows):
+    """Project world-axis jacobian components onto a contact frame.
+
+    frame: (n, 3, 3) rows = [normal, tangent1, tangent2]; jac_rows: list of
+    three (n, nv). Returns a list of three (n, nv): J rows in frame coords
+    (same component-form rationale as _point_jac_rows)."""
+    return [
+        frame[:, i, 0:1] * jac_rows[0]
+        + frame[:, i, 1:2] * jac_rows[1]
+        + frame[:, i, 2:3] * jac_rows[2]
+        for i in range(3)
+    ]
 
 
 def make_constraint(m: Model, d: Data) -> Data:
@@ -175,9 +197,9 @@ def make_constraint(m: Model, d: Data) -> Data:
             ssup = jnp.asarray((sup[b1] - sup[b2])[None, :], dtype)  # J of (v1 - v2)
             # jacobian evaluated at the midpoint for symmetry (MuJoCo uses each
             # body's own anchor; midpoint matches to first order and is stable)
-            jac1 = _point_jac(m, d, p1[None], jnp.asarray(sup[b1])[None])[0]
-            jac2 = _point_jac(m, d, p2[None], jnp.asarray(sup[b2])[None])[0]
-            jdiff = (jac1 - jac2).T  # (3, nv)
+            jr1 = _point_jac_rows(m, d, p1[None], jnp.asarray(sup[b1])[None])
+            jr2 = _point_jac_rows(m, d, p2[None], jnp.asarray(sup[b2])[None])
+            jdiff = jnp.stack([a[0] - b_[0] for a, b_ in zip(jr1, jr2)])  # (3, nv)
             diag_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
             nrow = 3 if etype == EqType.CONNECT else 6
             if etype == EqType.WELD:
@@ -340,8 +362,7 @@ def make_constraint(m: Model, d: Data) -> Data:
             gbody = jnp.asarray(s.geom_bodyid)
             biw = jnp.asarray(m.body_invweight0)
             invweight = biw[gbody[c.geom1], 0] + biw[gbody[c.geom2], 0]  # (ncon,)
-        jacp = _point_jac(m, d, c.pos, signed_sup)  # (ncon, nv, 3)
-        jframe = jnp.einsum("cij,cvj->civ", c.frame, jacp)  # (ncon, 3, nv)
+        jframe = _frame_rows(c.frame, _point_jac_rows(m, d, c.pos, signed_sup))  # 3 x (ncon, nv)
         pos_c = c.dist - c.includemargin
         k, b, imp = _kbi(m, c.solref, c.solimp, pos_c)
         # diagApprox (verified vs the C oracle's efc_R): frictionless rows use
@@ -357,9 +378,7 @@ def make_constraint(m: Model, d: Data) -> Data:
         active_c = c.dist < c.includemargin
 
         need_rot = bool((s.con_dim > 3).any())
-        jframe_rot = (
-            jnp.einsum("cij,cvj->civ", c.frame, _rot_jac(m, d, signed_sup)) if need_rot else None
-        )
+        jframe_rot = _frame_rows(c.frame, _rot_jac_rows(m, d, signed_sup)) if need_rot else None
 
         from ambersim_tpu.core.types import ConeType
 
@@ -374,9 +393,9 @@ def make_constraint(m: Model, d: Data) -> Data:
                 # no position term, D_i = D_n*impratio*(mu_i/mu0)^2)
                 nrow = cdim
                 row_idx = (s.con_efcadr[slots][:, None] + np.arange(nrow)[None, :]).reshape(-1)
-                jt_cols = [jframe[slots, 0]]
+                jt_cols = [jframe[0][slots]]
                 for f in range(1, cdim):
-                    jt_cols.append(jframe[slots, f] if f < 3 else jframe_rot[slots, f - 3])
+                    jt_cols.append(jframe[f][slots] if f < 3 else jframe_rot[f - 3][slots])
                 rows_J = jnp.stack(jt_cols, axis=1)  # (S, cdim, nv)
                 jqvel = jnp.einsum("srv,v->sr", rows_J, d.qvel)
                 aref_n = -b[slots] * jqvel[:, 0] - k[slots] * imp[slots] * pos_c[slots]
@@ -407,7 +426,7 @@ def make_constraint(m: Model, d: Data) -> Data:
             nrow = 1 if cdim == 1 else 2 * (cdim - 1)
             # static efc row indices (nrow per slot)
             row_idx = (s.con_efcadr[slots][:, None] + np.arange(nrow)[None, :]).reshape(-1)
-            jn = jframe[slots, 0]  # (S, nv)
+            jn = jframe[0][slots]  # (S, nv)
             if cdim == 1:
                 rows_J = jn[:, None, :]
             else:
@@ -416,9 +435,9 @@ def make_constraint(m: Model, d: Data) -> Data:
                 jt_cols = []
                 for f in fidx:
                     if f < 3:
-                        jt_cols.append(jframe[slots, f])
+                        jt_cols.append(jframe[f][slots])
                     else:  # torsional / rolling rows use the rotational jacobian
-                        jt_cols.append(jframe_rot[slots, f - 3])
+                        jt_cols.append(jframe_rot[f - 3][slots])
                 jt = jnp.stack(jt_cols, axis=1)  # (S, nrow, nv)
                 mu = c.friction[slots][:, fidx - 1]  # (S, nrow)
                 rows_J = jn[:, None, :] + signs[None, :, None] * mu[..., None] * jt
@@ -443,6 +462,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     )
 
 
-def _rot_jac(m: Model, d: Data, signed_sup: jax.Array) -> jax.Array:
-    """(ncon, nv, 3) rotational jacobian (for condim>3 torsional/rolling rows)."""
-    return d.cdof[None, :, :3] * signed_sup[..., None]
+def _rot_jac_rows(m: Model, d: Data, signed_sup: jax.Array):
+    """Rotational jacobian (condim>3 torsional/rolling rows) as a list of
+    three (ncon, nv) world-axis components."""
+    return [d.cdof[:, i][None] * signed_sup for i in range(3)]

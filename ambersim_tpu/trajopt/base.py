@@ -32,6 +32,12 @@ class TrajectoryOptimizer(abc.ABC):
 
 
 @struct.dataclass
+class CostFunctionParams(abc.ABC):
+    """Parameters consumed by a CostFunction call (reference base.py:87-90);
+    costs with static-only configuration may ignore it."""
+
+
+@struct.dataclass
 class CostFunction(abc.ABC):
     """Cost over (state trajectory, control trajectory)
     (reference base.py:81-172)."""

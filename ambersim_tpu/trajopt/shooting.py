@@ -54,6 +54,13 @@ class ShootingParams(TrajectoryOptimizerParams):
 
 
 @struct.dataclass
+class ShootingAlgorithm(TrajectoryOptimizer):
+    """Marker base for shooting-type optimizers (reference shooting.py:77-93):
+    optimizers whose decision variable is an open-loop control tape rolled
+    out through the dynamics."""
+
+
+@struct.dataclass
 class VanillaPredictiveSamplerParams(ShootingParams):
     """Adds the sampling PRNG key (reference shooting.py:97-101)."""
 
@@ -61,7 +68,7 @@ class VanillaPredictiveSamplerParams(ShootingParams):
 
 
 @struct.dataclass
-class VanillaPredictiveSampler(TrajectoryOptimizer):
+class VanillaPredictiveSampler(ShootingAlgorithm):
     """Predictive sampling: best of nsamples Gaussian perturbations
     (reference shooting.py:104-157)."""
 

@@ -135,8 +135,47 @@ def com_pos(m: Model, d: Data) -> Data:
 
     origin = subtree_com[s.body_rootid]  # (nbody, 3)
 
-    inertia_world = d.ximat @ (m.body_inertia[:, :, None] * jnp.swapaxes(d.ximat, -1, -2))
-    cinert = am.spatial_inertia(m.body_mass, inertia_world, d.xipos - origin)
+    # cinert = spatial inertia about the subtree-com origin, assembled in
+    # component form with ONE final stack. The obvious spelling
+    # (quat_to_mat -> R @ diag(I) @ R^T -> skew products -> concats) costs
+    # ~0.7 ms/step at batch 4096 on the quadruped bench in pure relayout
+    # ("data formatting") ops around every (…, 3, 3) intermediate; component
+    # arithmetic on (nbody,) slices fuses into one elementwise block.
+    xiquat = am.mul_quat(d.xquat, jnp.asarray(m.body_iquat, dtype))
+    qw, qx, qy, qz = xiquat[..., 0], xiquat[..., 1], xiquat[..., 2], xiquat[..., 3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    # rows of R (world <- inertial): R[a][k]
+    R = [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+    I0 = jnp.asarray(m.body_inertia[:, 0], dtype)
+    I1 = jnp.asarray(m.body_inertia[:, 1], dtype)
+    I2 = jnp.asarray(m.body_inertia[:, 2], dtype)
+    mass = jnp.asarray(m.body_mass, dtype)
+    coff = d.xipos - origin
+    cx, cy, cz = coff[..., 0], coff[..., 1], coff[..., 2]
+    cc = [cx, cy, cz]
+    c2 = cx * cx + cy * cy + cz * cz
+    # top-left: W + m ((c.c) E - c c^T) with W = R diag(I) R^T (about com)
+    def tl(a, b):
+        w_ab = I0 * R[a][0] * R[b][0] + I1 * R[a][1] * R[b][1] + I2 * R[a][2] * R[b][2]
+        return w_ab + mass * ((c2 if a == b else 0.0) - cc[a] * cc[b])
+
+    zero = jnp.zeros_like(cx)
+    mcx, mcy, mcz = mass * cx, mass * cy, mass * cz
+    # m S(c) (top-right); bottom-left is its transpose (= -m S(c)); m E
+    tr = [[zero, -mcz, mcy], [mcz, zero, -mcx], [-mcy, mcx, zero]]
+    comps = []
+    for a in range(3):
+        comps += [tl(a, 0), tl(a, 1), tl(a, 2)] + tr[a]
+    for a in range(3):
+        comps += [tr[0][a], tr[1][a], tr[2][a]]
+        comps += [mass if b_ == a else zero for b_ in range(3)]
+    cinert = jnp.stack(comps, axis=-1).reshape(d.xipos.shape[:-1] + (6, 6))
 
     # cdof: order-free, vectorized per joint type
     cdof = jnp.zeros((s.nv, 6), dtype)

@@ -84,15 +84,35 @@ def plane_capsule(xp1, xm1, s1, xp2, xm2, s2):
 
 
 def plane_box(xp1, xm1, s1, xp2, xm2, s2):
-    """Up to 4 deepest corners of the box vs the plane."""
+    """Up to 4 deepest corners of the box vs the plane.
+
+    Component form + one-hot selection: the obvious argsort/take_along_axis
+    top-4 costs ~240 us/step on the quadruped bench (gathers with a trailing
+    corner dim under the env vmap); four successive argmin one-hot reductions
+    over (..., 8) are pure VPU work with identical tie-breaking (first index).
+    """
     n = xm1[..., :, 2]
-    corners = jnp.asarray(_BOX_CORNERS, dtype=xp2.dtype)  # (8, 3)
-    pts = xp2[..., None, :] + jnp.einsum("...ij,...kj->...ki", xm2, corners * s2[..., None, :])
-    d = jnp.einsum("...ki,...i->...k", pts - xp1[..., None, :], n)  # (..., 8)
-    # take the 4 smallest distances (static top-k)
-    idx = jnp.argsort(d, axis=-1)[..., :4]
-    dist = jnp.take_along_axis(d, idx, axis=-1)
-    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2) - 0.5 * dist[..., None] * n[..., None, :]
+    corners = jnp.asarray(_BOX_CORNERS, dtype=xp2.dtype)  # (8, 3) static
+    # corner world positions, one (..., 8) array per world axis
+    pts_i = [
+        xp2[..., i, None]
+        + sum(xm2[..., i, j, None] * (s2[..., j, None] * corners[:, j]) for j in range(3))
+        for i in range(3)
+    ]
+    d = sum((pts_i[i] - xp1[..., i, None]) * n[..., i, None] for i in range(3))  # (..., 8)
+
+    arange8 = jnp.arange(8)
+    dw = d
+    dists, poss = [], []
+    for _ in range(4):
+        dk = jnp.min(dw, axis=-1)  # (...,)
+        oh = (arange8 == jnp.argmin(dw, axis=-1)[..., None]).astype(d.dtype)
+        pk = [jnp.sum(pts_i[i] * oh, axis=-1) for i in range(3)]  # selected corner
+        dists.append(dk)
+        poss.append(jnp.stack([pk[i] - 0.5 * dk * n[..., i] for i in range(3)], axis=-1))
+        dw = dw + oh * _BIG  # exclude the picked corner from later rounds
+    dist = jnp.stack(dists, axis=-1)  # (..., 4)
+    pos = jnp.stack(poss, axis=-2)  # (..., 4, 3)
     frame = jnp.broadcast_to(_make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
     return dist, pos, frame
 

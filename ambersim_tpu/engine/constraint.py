@@ -113,6 +113,18 @@ def _frame_rows(frame: jax.Array, jac_rows):
     ]
 
 
+def _set_rows(arr: jax.Array, row_idx: np.ndarray, block: jax.Array) -> jax.Array:
+    """Write a block of rows at static indices. Contiguous index ranges (the
+    common case: per-family row blocks) lower to a dynamic-update-slice
+    instead of a scatter — a full-buffer (B, nefc, nv) scatter under the env
+    vmap costs ~100 us/step on the quadruped bench."""
+    row_idx = np.asarray(row_idx)
+    if row_idx.size and np.all(np.diff(row_idx) == 1):
+        r0 = int(row_idx[0])
+        return arr.at[r0 : r0 + row_idx.size].set(block)
+    return arr.at[row_idx].set(block)
+
+
 def make_constraint(m: Model, d: Data) -> Data:
     s = m.skel
     dtype = d.qpos.dtype
@@ -283,12 +295,18 @@ def make_constraint(m: Model, d: Data) -> Data:
             pos = dist - margin
             k, b, imp = _kbi(m, m.jnt_solref[jids], m.jnt_solimp[jids], pos)
             jqvel = sign * d.qvel[das]
-            efc_J = efc_J.at[rows, das].set(sign)
-            efc_pos = efc_pos.at[rows].set(pos)
-            efc_margin = efc_margin.at[rows].set(margin)
-            efc_aref = efc_aref.at[rows].set(-b * jqvel - k * imp * pos)
-            efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[das], _MINVAL))
-            efc_active = efc_active.at[rows].set(lim_enabled & (dist < margin))
+            # static one-hot dof columns x dynamic sign: a (nl, nv) block
+            # written with a slice update, not a (B, nefc, nv) scatter
+            onehot = np.zeros((len(rows), nv), np.float64)
+            onehot[np.arange(len(rows)), das] = 1.0
+            efc_J = _set_rows(efc_J, rows, sign[:, None] * jnp.asarray(onehot, dtype))
+            efc_pos = _set_rows(efc_pos, rows, pos)
+            efc_margin = _set_rows(efc_margin, rows, margin.astype(dtype))
+            efc_aref = _set_rows(efc_aref, rows, -b * jqvel - k * imp * pos)
+            efc_D = _set_rows(
+                efc_D, rows, imp / jnp.maximum((1 - imp) * m.dof_invweight0[das], _MINVAL)
+            )
+            efc_active = _set_rows(efc_active, rows, lim_enabled & (dist < margin))
         for kk in ball_sel:
             # ball limit: one row on the total rotation angle (mj_instantiateLimit:
             # dist = max(range) - |rotvec|, J = -axis)
@@ -414,42 +432,51 @@ def make_constraint(m: Model, d: Data) -> Data:
                 margin_rows = jnp.concatenate(
                     [c.includemargin[slots][:, None], jnp.zeros_like(aref_f)], axis=1
                 )
-                efc_J = efc_J.at[row_idx].set(rows_J.reshape(-1, nv))
-                efc_pos = efc_pos.at[row_idx].set(pos_rows.reshape(-1))
-                efc_margin = efc_margin.at[row_idx].set(margin_rows.reshape(-1))
-                efc_aref = efc_aref.at[row_idx].set(aref_rows.reshape(-1))
-                efc_D = efc_D.at[row_idx].set(D_rows.reshape(-1))
-                efc_active = efc_active.at[row_idx].set(
-                    jnp.repeat(active_c[slots][:, None], nrow, axis=1).reshape(-1)
+                efc_J = _set_rows(efc_J, row_idx, rows_J.reshape(-1, nv))
+                efc_pos = _set_rows(efc_pos, row_idx, pos_rows.reshape(-1))
+                efc_margin = _set_rows(efc_margin, row_idx, margin_rows.reshape(-1))
+                efc_aref = _set_rows(efc_aref, row_idx, aref_rows.reshape(-1))
+                efc_D = _set_rows(efc_D, row_idx, D_rows.reshape(-1))
+                efc_active = _set_rows(
+                    efc_active,
+                    row_idx,
+                    jnp.repeat(active_c[slots][:, None], nrow, axis=1).reshape(-1),
                 )
                 continue
             nrow = 1 if cdim == 1 else 2 * (cdim - 1)
             # static efc row indices (nrow per slot)
             row_idx = (s.con_efcadr[slots][:, None] + np.arange(nrow)[None, :]).reshape(-1)
             jn = jframe[0][slots]  # (S, nv)
+            # component form over the pyramid rows: materializing
+            # (S, nrow, nv) adds two trailing tiny dims under the env vmap
+            # (~280 us/step of relayout copies on the quadruped bench); per-row
+            # (S, nv) arrays stay layout-clean and the J.qvel products reuse
+            # each tangent row's dot once for its +/- pyramid pair.
+            jnq = jnp.sum(jn * d.qvel, axis=-1)  # (S,)
             if cdim == 1:
-                rows_J = jn[:, None, :]
+                row_Js = [jn]
+                jq_rows = [jnq]
             else:
-                fidx = np.repeat(np.arange(1, cdim), 2)  # e.g. [1,1,2,2,...]
-                signs = jnp.asarray(np.tile([1.0, -1.0], cdim - 1), dtype)  # (nrow,)
-                jt_cols = []
-                for f in fidx:
-                    if f < 3:
-                        jt_cols.append(jframe[f][slots])
-                    else:  # torsional / rolling rows use the rotational jacobian
-                        jt_cols.append(jframe_rot[f - 3][slots])
-                jt = jnp.stack(jt_cols, axis=1)  # (S, nrow, nv)
-                mu = c.friction[slots][:, fidx - 1]  # (S, nrow)
-                rows_J = jn[:, None, :] + signs[None, :, None] * mu[..., None] * jt
-            jqvel = jnp.einsum("srv,v->sr", rows_J, d.qvel)  # (S, nrow)
-            aref_rows = -b[slots][:, None] * jqvel - (k[slots] * imp[slots] * pos_c[slots])[:, None]
+                row_Js, jq_rows = [], []
+                for f in range(1, cdim):
+                    base = jframe[f][slots] if f < 3 else jframe_rot[f - 3][slots]
+                    mu_f = c.friction[slots][:, f - 1]  # (S,)
+                    mb = mu_f[:, None] * base
+                    bq = mu_f * jnp.sum(base * d.qvel, axis=-1)
+                    row_Js += [jn + mb, jn - mb]
+                    jq_rows += [jnq + bq, jnq - bq]
+            kip = k[slots] * imp[slots] * pos_c[slots]
+            aref_rows = [-b[slots] * jq - kip for jq in jq_rows]
+            Jblk = jnp.stack(row_Js, axis=1).reshape(-1, nv)  # (S*nrow, nv)
             rep = lambda x: jnp.repeat(x[slots][:, None], nrow, axis=1).reshape(-1)  # noqa: E731
-            efc_J = efc_J.at[row_idx].set(rows_J.reshape(-1, nv))
-            efc_pos = efc_pos.at[row_idx].set(rep(c.dist))
-            efc_margin = efc_margin.at[row_idx].set(rep(c.includemargin))
-            efc_aref = efc_aref.at[row_idx].set(aref_rows.reshape(-1))
-            efc_D = efc_D.at[row_idx].set(rep(D_c))
-            efc_active = efc_active.at[row_idx].set(jnp.repeat(active_c[slots][:, None], nrow, axis=1).reshape(-1))
+            efc_J = _set_rows(efc_J, row_idx, Jblk)
+            efc_pos = _set_rows(efc_pos, row_idx, rep(c.dist))
+            efc_margin = _set_rows(efc_margin, row_idx, rep(c.includemargin))
+            efc_aref = _set_rows(efc_aref, row_idx, jnp.stack(aref_rows, axis=1).reshape(-1))
+            efc_D = _set_rows(efc_D, row_idx, rep(D_c))
+            efc_active = _set_rows(
+                efc_active, row_idx, jnp.repeat(active_c[slots][:, None], nrow, axis=1).reshape(-1)
+            )
 
     return d.replace(
         efc_J=efc_J,

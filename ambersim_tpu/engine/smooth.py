@@ -249,20 +249,27 @@ def com_vel(m: Model, d: Data) -> Data:
 
 
 def crb(m: Model, d: Data) -> Data:
-    """Composite-rigid-body mass matrix, dense, via two einsums + static mask."""
+    """Composite-rigid-body mass matrix, dense, via component-form products.
+
+    The obvious einsum('vij,vj->vi') + f @ cdof.T leaves (6, 6)/(6,) trailing
+    dims under the env vmap (~130 us/step of relayout copies on the quadruped
+    bench); slicing cinert/cdof into per-component (nv,) arrays keeps every
+    product layout-clean, and qM accumulates from six rank-1 outer products."""
     s = m.skel
     sched = tree_schedule(s)
-    crb_mat = d.cinert
+    crb_flat = d.cinert.reshape(d.cinert.shape[:-2] + (36,))  # row-major, free
     for child_ids, parent_ids in sched.reverse_levels:
         keep = parent_ids > 0
         if keep.any():
-            crb_mat = crb_mat.at[parent_ids[keep]].add(crb_mat[child_ids[keep]])
+            crb_flat = crb_flat.at[parent_ids[keep]].add(crb_flat[child_ids[keep]])
 
     if s.nv == 0:
         return d.replace(qM=jnp.zeros((0, 0), d.qpos.dtype))
 
-    f = jnp.einsum("vij,vj->vi", crb_mat[s.dof_bodyid], d.cdof)  # (nv, 6)
-    m_full = f @ d.cdof.T  # (nv, nv)
+    cm = crb_flat[s.dof_bodyid]  # (nv, 36) static gather
+    cd = [d.cdof[:, j] for j in range(6)]  # 6 x (nv,)
+    f = [sum(cm[:, 6 * i + j] * cd[j] for j in range(6)) for i in range(6)]
+    m_full = sum(f[i][:, None] * cd[i][None, :] for i in range(6))  # (nv, nv)
     mask = jnp.asarray(s.ancestor_mask)
     half = jnp.where(mask, m_full, 0.0)
     qM = half + half.T - jnp.diag(jnp.diag(half))

@@ -96,10 +96,17 @@ def _cho_solve_kernel(l_ref, b_ref, out_ref):
 
 
 def _batched_call(kernel, mats, vecs, out_is_mat):
-    """Run `kernel` over batch tiles. mats (B, n, n), vecs (B, n) or None."""
+    """Run `kernel` over batch tiles. mats (B, n, n), vecs (B, n) or None.
+
+    The column sweeps are serial-latency-bound (2n-4n dependent steps of
+    tiny vector ops), so the env tile is made as wide as VMEM allows: fewer
+    grid steps = proportionally less total serial latency. Working set per
+    env is only ~3*n^2 floats, so small n (nv <= ~24) runs at tile 1024."""
     b = mats.shape[0]
     n = mats.shape[-1]
-    bp = -(-b // TILE) * TILE
+    per_env = 4 * (3 * n * n + 6 * n)  # in+out (double-buffered) + vectors
+    tile = next((t for t in (1024, 512, 256) if per_env * 2 * t < 12 * 2**20), TILE)
+    bp = -(-b // tile) * tile
     a_t = jnp.moveaxis(mats, 0, -1)  # (n, n, B)
     a_t = jnp.pad(a_t, ((0, 0), (0, 0), (0, bp - b)), constant_values=0.0)
     if bp > b:  # keep padded systems well-posed: A_pad = I
@@ -113,12 +120,12 @@ def _batched_call(kernel, mats, vecs, out_is_mat):
         a_t = jnp.where(pad_mask, eye, a_t)
 
     inputs = [a_t]
-    in_specs = [pl.BlockSpec((n, n, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
     if vecs is not None:
         v_t = jnp.moveaxis(vecs, 0, -1)  # (n, B)
         v_t = jnp.pad(v_t, ((0, 0), (0, bp - b)))
         inputs.append(v_t)
-        in_specs.append(pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
 
     out_shape = (
         jax.ShapeDtypeStruct((n, n, bp), mats.dtype)
@@ -126,13 +133,13 @@ def _batched_call(kernel, mats, vecs, out_is_mat):
         else jax.ShapeDtypeStruct((n, bp), mats.dtype)
     )
     out_spec = (
-        pl.BlockSpec((n, n, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
         if out_is_mat
-        else pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        else pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     )
     out = pl.pallas_call(
         kernel,
-        grid=(bp // TILE,),
+        grid=(bp // tile,),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,

@@ -16,6 +16,18 @@ ne/nf row masks). Elliptic-cone models keep the jnp path
 (engine/solver.py dispatches). Semantics mirror engine/solver.py exactly:
 same Huber friction rows, same warmstart selection, same scale-invariant
 tolerance gating, same t clip [0, 4].
+
+Measured dead end — runtime active-row compaction (do not retry): efc_active
+is fixed during the solve, so gathering the ~32 active of 136 rows into a
+static K=56 layout and solving the compacted system is exact, with a
+lax.cond fallback on overflow. On-chip (v5e, batch 4096, quadruped shapes)
+it LOSES badly: the kernel is latency-bound on the Cholesky-column /
+line-search serial chains, not row-bound — 136 -> 56 rows only cuts the
+kernel 1.34 -> 1.01 ms/iter — while jnp.take_along_axis on (4096, 136, 18)
+J costs 2.15 ms, the force scatter 1.61 ms, stable argsort 0.73 ms, and the
+lax.cond wrapper adds several ms of operand copies (21 ms total vs 1.34 ms
+for the full solve). Row-count reduction must happen statically at
+constraint-assembly time, not via per-step gathers.
 """
 
 from __future__ import annotations

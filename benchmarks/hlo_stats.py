@@ -1,0 +1,119 @@
+"""Per-op HLO profile of the fused quadruped benchmark rollout.
+
+This is the decisive layout-copy hunting tool: traces the real fused rollout
+with jax.profiler, converts the xplane.pb via xprof's hlo_stats, and prints
+the top ops by self time with their category and source attribution.
+"data formatting" category = relayout copies = the enemy (trailing tiny
+dims under the env vmap are layout poison — fix with component form).
+
+Subtractive profiling inside a phase is unreliable (XLA DCEs stages that do
+not feed the scan carry); trust this per-op view for intra-step attribution
+and benchmarks/profile_phases.py only for whole-phase totals.
+
+Usage: python benchmarks/hlo_stats.py [BENCH_NUM_ENVS=4096] [TOP=40]
+"""
+
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 50))
+TOP = int(os.environ.get("TOP", 40))
+
+
+def _sync(x) -> float:
+    return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
+
+
+def main():
+    from ambersim_tpu.engine import make_data
+    from ambersim_tpu.engine.rollout import rollout as engine_rollout
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    model = load_model_from_file("models/quadruped/quadruped.xml")
+    nu = model.nu
+    kp, kd = 60.0, 2.0
+
+    d0 = make_data(model)
+    keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
+    batch = jax.vmap(
+        lambda k: d0.replace(qpos=d0.qpos.at[7:].add(0.05 * jax.random.normal(k, (nu,))))
+    )(keys)
+
+    def ctrl_fn(d):
+        return kp * (jnp.zeros(nu) - d.qpos[7:]) - kd * d.qvel[6:]
+
+    @jax.jit
+    def rollout(b):
+        return engine_rollout(model, b, NUM_STEPS, ctrl_fn=ctrl_fn, batched=True)
+
+    warm = rollout(batch)
+    _sync(warm.qpos)
+
+    tmpdir = tempfile.mkdtemp(prefix="hlostats_")
+    with jax.profiler.trace(tmpdir):
+        out = rollout(warm)
+        _sync(out.qpos)
+
+    pbs = glob.glob(os.path.join(tmpdir, "**", "*.xplane.pb"), recursive=True)
+    if not pbs:
+        print(f"no xplane.pb under {tmpdir}", file=sys.stderr)
+        sys.exit(1)
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data([pbs[-1]], "hlo_stats", {})
+    import json as _json
+
+    table = _json.loads(data) if isinstance(data, (str, bytes)) else data
+    # hlo_stats returns a gviz-style {cols, rows}; map column ids -> index
+    cols = [c["label"] for c in table["cols"]]
+    idx = {label: i for i, label in enumerate(cols)}
+
+    def col(row, name, default=""):
+        i = idx.get(name)
+        return row["c"][i]["v"] if i is not None and row["c"][i] else default
+
+    rows = []
+    for r in table["rows"]:
+        fw = str(col(r, "Framework op name", ""))
+        # strip the common jit(rollout)/while/body prefix for readability
+        fw = fw.replace("jit(rollout)/while/body/closed_call/", "")
+        src = str(col(r, "Source Info", ""))
+        m = re.search(r"title='([^']*)'", src)
+        src = m.group(1) if m else src
+        src = src.replace("/root/repo/ambersim_tpu/", "").split(",")[0]
+        rows.append(
+            (
+                float(col(r, "Total self time (us)", 0) or 0),
+                col(r, "HLO op category"),
+                fw[:80],
+                src[:44],
+            )
+        )
+    rows.sort(reverse=True)
+    total = sum(r[0] for r in rows)
+    print(f"total self time: {total/1e3:.2f} ms over {NUM_STEPS} steps "
+          f"({total/NUM_STEPS:.0f} us/step, batch {NUM_ENVS})")
+    print(f"{'us/step':>8}  {'%':>5}  {'category':20s} {'source':32s} framework op")
+    for t, cat, expr, src in rows[:TOP]:
+        print(f"{t/NUM_STEPS:8.1f}  {100*t/total:5.1f}  {cat:20s} {src:32s} {expr}")
+    # category rollup
+    agg = {}
+    for t, cat, _, _ in rows:
+        agg[cat] = agg.get(cat, 0.0) + t
+    print("\nby category:")
+    for cat, t in sorted(agg.items(), key=lambda kv: -kv[1]):
+        print(f"  {t/NUM_STEPS:8.1f} us/step  {100*t/total:5.1f}%  {cat}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,18 @@ ne/nf row masks). Elliptic-cone models keep the jnp path
 same Huber friction rows, same warmstart selection, same scale-invariant
 tolerance gating, same t clip [0, 4].
 
+Roofline (benchmarks/newton_micro.py, v5e, quadruped nefc=136/nv=18,
+batch 4096): ~158 us per Newton iteration, line-search steps ~7 us each,
+in-call DMA + warmstart evaluation ~200 us. The per-iteration cost is the
+Hessian assembly J^T diag(h) J — nefc*nv*nv FMAs per env, 360 MFLOP per
+batch-iteration — running at ~2.3-2.6 TFLOP/s fp32, i.e. ~60-67% of the
+v5e VPU peak (~3.9 TFLOP/s). The MXU cannot help: the env batch rides the
+lane dimension, so each env's 18x18 Gram update is VPU-shaped; packing envs
+into block-diagonal MXU tiles would reintroduce the relayout copies the
+kernel exists to avoid (and at 18/128 occupancy the MXU is slower anyway).
+Remaining levers are sub-linear: tile 512 needs >16 MiB VMEM (measured
+ceiling; tile 256 already disables double-buffering at 16.0 MiB scoped).
+
 Measured dead end — runtime active-row compaction (do not retry): efc_active
 is fixed during the solve, so gathering the ~32 active of 136 rows into a
 static K=56 layout and solving the compacted system is exact, with a

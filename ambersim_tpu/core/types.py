@@ -295,7 +295,9 @@ class Contact:
     rows) is static on the skeleton; slot *content* is traced. geom1/geom2
     carry the actual geom pair per slot: for static pairs they equal the
     skeleton's con_geom1/con_geom2 constants, for broadphase-capped groups
-    they are the runtime top-k selection (engine.collision)."""
+    they are the runtime top-k selection (engine.collision). When the model
+    declares <custom numeric max_contact_points>, ncon < skel.ncand and every
+    slot is a runtime top-k-by-depth selection over the candidates."""
 
     dist: jax.Array  # (ncon,)
     pos: jax.Array  # (ncon, 3)

@@ -618,19 +618,25 @@ def collision(m: Model, d: Data) -> Data:
     expensive narrowphase and occupy contact slots, so narrowphase cost and
     efc row count scale with the cap, not with the O(n^2) candidate count.
     Slot layout stays static; slot content (which geom pair) is traced.
+
+    Additionally, a model-declared global cap (<custom><numeric
+    name="max_contact_points">) compacts the ncand candidate slots to the
+    skel.ncon deepest-penetrating contacts after narrowphase, shrinking the
+    efc rows the solver sees (exact whenever <= cap contacts are active).
     """
     s = m.skel
     if s.ncon == 0:
         return d
 
     dtype = d.qpos.dtype
-    dist_all = jnp.full((s.ncon,), _BIG, dtype)
-    pos_all = jnp.zeros((s.ncon, 3), dtype)
-    frame_all = jnp.tile(jnp.eye(3, dtype=dtype), (s.ncon, 1, 1))
-    fric_all = jnp.zeros((s.ncon, 5), dtype)
-    solref_all = jnp.zeros((s.ncon, 2), dtype)
-    solimp_all = jnp.zeros((s.ncon, 5), dtype)
-    margin_all = jnp.zeros((s.ncon,), dtype)
+    ncand = s.ncand
+    dist_all = jnp.full((ncand,), _BIG, dtype)
+    pos_all = jnp.zeros((ncand, 3), dtype)
+    frame_all = jnp.tile(jnp.eye(3, dtype=dtype), (ncand, 1, 1))
+    fric_all = jnp.zeros((ncand, 5), dtype)
+    solref_all = jnp.zeros((ncand, 2), dtype)
+    solimp_all = jnp.zeros((ncand, 5), dtype)
+    margin_all = jnp.zeros((ncand,), dtype)
     geom1_all = jnp.asarray(s.con_geom1, jnp.int32)
     geom2_all = jnp.asarray(s.con_geom2, jnp.int32)
 
@@ -738,6 +744,22 @@ def collision(m: Model, d: Data) -> Data:
         solref_all = solref_all.at[slots].set(jnp.repeat(solref, ncon_per, axis=0))
         solimp_all = solimp_all.at[slots].set(jnp.repeat(solimp, ncon_per, axis=0))
         margin_all = margin_all.at[slots].set(jnp.repeat(includemargin, ncon_per, axis=0))
+
+    if s.ncon < ncand:
+        # global contact cap (<custom numeric max_contact_points>): keep the
+        # s.ncon deepest candidates. Activity is dist < includemargin, so the
+        # selection key is penetration-past-margin; empty slots sit at
+        # -_BIG and lax.top_k breaks ties by lowest index (deterministic).
+        _, sel = jax.lax.top_k(margin_all - dist_all, s.ncon)
+        dist_all = dist_all[sel]
+        pos_all = pos_all[sel]
+        frame_all = frame_all[sel]
+        fric_all = fric_all[sel]
+        solref_all = solref_all[sel]
+        solimp_all = solimp_all[sel]
+        margin_all = margin_all[sel]
+        geom1_all = geom1_all[sel]
+        geom2_all = geom2_all[sel]
 
     contact = Contact(
         dist=dist_all,

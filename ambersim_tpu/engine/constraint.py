@@ -364,7 +364,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     if s.ncon and con_enabled:
         c = d.contact
         gsup_np = _geom_support(s)  # (ngeom, nv) static table
-        if len(s.bpg_adr) == 0:
+        if len(s.bpg_adr) == 0 and s.ncon == s.ncand:
             # all contact slots have compile-time geom pairs: bake the support
             # as a constant and gather invweight with static indices (model
             # leaves may be traced jit arguments — no host conversion here)

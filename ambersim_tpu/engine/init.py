@@ -22,8 +22,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         solref=z(s.ncon, 2),
         solimp=z(s.ncon, 5),
         includemargin=z(s.ncon),
-        geom1=jnp.asarray(s.con_geom1, jnp.int32),
-        geom2=jnp.asarray(s.con_geom2, jnp.int32),
+        geom1=jnp.asarray(s.con_geom1[: s.ncon], jnp.int32),
+        geom2=jnp.asarray(s.con_geom2[: s.ncon], jnp.int32),
     )
     return Data(
         time=jnp.zeros((), dtype),

@@ -87,6 +87,12 @@ def spec_to_xml(spec: ModelSpec) -> str:
             ET.SubElement(con, "pair", dict(p.attrib))
         for x in spec.excludes:
             ET.SubElement(con, "exclude", dict(x.attrib))
+    if spec.custom:
+        cus = ET.SubElement(root, "custom")
+        for name, data in spec.custom.items():
+            ET.SubElement(
+                cus, "numeric", {"name": name, "data": " ".join(repr(float(v)) for v in data)}
+            )
 
     raw = ET.tostring(root, encoding="unicode")
     return minidom.parseString(raw).toprettyxml(indent="  ")

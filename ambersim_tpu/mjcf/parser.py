@@ -85,6 +85,7 @@ class ModelSpec:
     excludes: List[ElemSpec] = dataclasses.field(default_factory=list)
     meshes: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
     hfields: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
+    custom: Dict[str, "np.ndarray"] = dataclasses.field(default_factory=dict)
     base_dir: str = "."
 
     def degrees(self) -> bool:
@@ -215,6 +216,13 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                 elif sub.tag == "hfield":
                     attrib = dict(sub.attrib)
                     spec.hfields[attrib["name"]] = attrib
+        elif sec.tag == "custom":
+            # <custom><numeric name=... data=.../></custom>: the MJX/Brax
+            # convention for engine tuning knobs (e.g. max_contact_points)
+            for sub in sec:
+                if sub.tag == "numeric":
+                    data = np.fromstring(sub.get("data", "0"), sep=" ")
+                    spec.custom[sub.attrib["name"]] = data
 
     # worldbody: body index 0 is the world
     world = BodySpec(name="world", attrib={}, parent=-1, childclass="main")

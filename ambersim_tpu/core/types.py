@@ -528,6 +528,18 @@ class Data:
     # constraints
     contact: Contact
     efc_J: jax.Array  # (nefc, nv)
+    # factored pyramid-contact basis [N | mu1*T1 | mu2*T2] grouped by kind
+    # ((3*ncon3, nv); (0, nv) when the rows don't factor — see
+    # engine.constraint.PyramidStructure). Written by make_constraint next to
+    # the dense rows; the structured Newton kernel consumes it directly so the
+    # dense contact-row writes of efc_J can be dead-code-eliminated inside
+    # rollout scans.
+    efc_bJ: jax.Array
+    # signed values of the one-hot rows (dof friction: +1; scalar joint
+    # limits: the dynamic lower/upper sign), in PyramidStructure.diag_rows
+    # order ((ndiag,); (0,) when the rows don't factor). Same purpose as
+    # efc_bJ: lets the structured solver avoid reading efc_J at all.
+    efc_dsc: jax.Array
     efc_D: jax.Array  # (nefc,)
     efc_aref: jax.Array  # (nefc,)
     efc_pos: jax.Array  # (nefc,)

@@ -21,6 +21,8 @@ gated by efc_active (TPU-friendly masking instead of dynamic row counts).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +64,157 @@ def _kbi(m: Model, solref: jax.Array, solimp: jax.Array, pos: jax.Array):
 
 
 _CACHE: dict = {}
+
+
+class PyramidStructure(NamedTuple):
+    """Static factored layout of the pyramidal efc rows (consumed by the
+    structured Newton kernel in ops/newton_pallas.py).
+
+    Row families, classified by replaying make_constraint's static row walk:
+      * dense rows  — no exploitable structure (equality, tendon friction,
+        ball/tendon limits, frictionless condim-1 contact rows)
+      * one-hot rows — J = s * e_dof with a static dof and dynamic sign
+        (dof friction, scalar joint limits): diagonal Hessian updates
+      * condim-3 pyramid blocks — rows [N+U1, N-U1, N+U2, N-U2] with
+        U_k = mu_k * T_k, so the basis [N, U1, U2] is recoverable from the
+        assembled rows by half sums/differences; the Gram contribution is
+        B^T S B with a 5-coefficient S per contact (3 basis rows instead of
+        4 dense rows, and no J*h buffer)
+
+    `perm` maps kernel row order [dense | one-hot | N+U1* | N-U1* | N+U2* |
+    N-U2*] (contact rows grouped by pyramid direction so the kernel slices
+    contiguously) to MuJoCo row order; `is_fric`/`one_sided` are the row-type
+    masks in kernel order."""
+
+    nd: int
+    ndiag: int
+    ncon3: int
+    # family-segment boundaries in kernel order (rows are contiguous by
+    # construction: eq | tendon-friction | dense one-sided | one-hot friction
+    # | one-hot limits | contacts) — the kernel rebuilds row-type masks from
+    # iota with these, since Pallas kernels cannot close over array constants
+    nd_eq: int  # dense equality rows (two-sided quadratic)
+    nd_ft: int  # dense tendon-friction rows (Huber)
+    nfd: int  # one-hot dof-friction rows (Huber); remaining one-hot = limits
+    dense_rows: np.ndarray  # (nd,) MuJoCo row ids
+    diag_rows: np.ndarray  # (ndiag,)
+    diag_dofs: np.ndarray  # (ndiag,)
+    adr3: np.ndarray  # (ncon3,) first MuJoCo row of each condim-3 block
+    perm: np.ndarray  # (nefc,) kernel row -> MuJoCo row
+    inv_perm: np.ndarray  # (nefc,) MuJoCo row -> kernel row
+    is_fric: np.ndarray  # (nefc, 1) float32, kernel order (Huber rows)
+    one_sided: np.ndarray  # (nefc, 1) float32, kernel order
+
+
+def _row_families(s):
+    """(family, dof) per non-contact MuJoCo efc row, mirroring
+    make_constraint's assembly order exactly."""
+    rows = []
+    eq_rows = {EqType.JOINT: 1, EqType.TENDON: 1, EqType.CONNECT: 3, EqType.WELD: 6}
+    for e in range(s.neq):
+        rows += [("eq", -1)] * eq_rows[EqType(int(s.eq_type[e]))]
+    for dof in s.friction_dofid:
+        rows.append(("fric_dof", int(dof)))
+    for _ in getattr(s, "friction_tenid", ()):
+        rows.append(("fric_ten", -1))
+    for j in s.limit_jntid:
+        if int(s.jnt_type[j]) == int(JointType.BALL):
+            rows.append(("lim_dense", -1))
+        else:
+            rows.append(("lim_dof", int(s.jnt_dofadr[j])))
+    for _ in getattr(s, "limit_tenid", ()):
+        rows.append(("lim_dense", -1))
+    return rows
+
+
+def _pyramid_structure(s) -> "PyramidStructure | None":
+    """Static factored row layout, or None when the model doesn't qualify
+    (elliptic handled elsewhere; condim 4/6 pyramid blocks keep the dense
+    kernel)."""
+    key = (s, "pyr_struct")
+    if key in _CACHE:
+        return _CACHE[key]
+
+    def build():
+        if s.nefc == 0 or s.ncon == 0:
+            return None
+        con_dim = np.asarray(s.con_dim)
+        if not np.all(np.isin(con_dim, (1, 3))) or not np.any(con_dim == 3):
+            return None
+        fams = _row_families(s)
+        # the skeleton's efc layout must actually be the pyramidal one
+        # (1 row for condim 1, 2*(cdim-1) otherwise): elliptic-compiled
+        # skeletons lay out condim-3 contacts as 3 rows and do not factor
+        rows_per = np.where(con_dim == 1, 1, 2 * (con_dim - 1))
+        expected_adr = len(fams) + np.concatenate([[0], np.cumsum(rows_per[:-1])])
+        if s.nefc != len(fams) + int(rows_per.sum()) or not np.array_equal(
+            np.asarray(s.con_efcadr), expected_adr
+        ):
+            return None
+        dense, dense_fam, diag_rows, diag_dofs, diag_fam = [], [], [], [], []
+        for i, (fam, dof) in enumerate(fams):
+            if fam in ("fric_dof", "lim_dof"):
+                diag_rows.append(i)
+                diag_dofs.append(dof)
+                diag_fam.append(fam)
+            else:
+                dense.append(i)
+                dense_fam.append(fam)
+        adr = np.asarray(s.con_efcadr)
+        for c in np.nonzero(con_dim == 1)[0]:
+            dense.append(int(adr[c]))
+            dense_fam.append("con1")
+        adr3 = adr[np.nonzero(con_dim == 3)[0]]
+        ncon3 = len(adr3)
+        perm = np.concatenate(
+            [
+                np.asarray(dense, np.int64),
+                np.asarray(diag_rows, np.int64),
+                adr3 + 0,
+                adr3 + 1,
+                adr3 + 2,
+                adr3 + 3,
+            ]
+        ).astype(np.int64)
+        assert perm.shape == (s.nefc,) and np.array_equal(np.sort(perm), np.arange(s.nefc))
+        inv_perm = np.argsort(perm)
+        fam_k = dense_fam + diag_fam + ["con"] * (4 * ncon3)
+        is_fric = np.asarray(
+            [f in ("fric_dof", "fric_ten") for f in fam_k], np.float32
+        )[:, None]
+        one_sided = np.asarray(
+            [f in ("lim_dof", "lim_dense", "con1", "con") for f in fam_k], np.float32
+        )[:, None]
+        # family segments must be contiguous in kernel order (the kernel
+        # rebuilds the masks from these boundaries)
+        nd_eq = dense_fam.count("eq")
+        nd_ft = dense_fam.count("fric_ten")
+        nfd = diag_fam.count("fric_dof")
+        assert dense_fam == ["eq"] * nd_eq + ["fric_ten"] * nd_ft + dense_fam[nd_eq + nd_ft :]
+        assert all(f in ("lim_dense", "con1") for f in dense_fam[nd_eq + nd_ft :])
+        assert diag_fam == ["fric_dof"] * nfd + ["lim_dof"] * (len(diag_fam) - nfd)
+        return PyramidStructure(
+            nd=len(dense),
+            ndiag=len(diag_rows),
+            ncon3=ncon3,
+            nd_eq=nd_eq,
+            nd_ft=nd_ft,
+            nfd=nfd,
+            dense_rows=np.asarray(dense, np.int64),
+            diag_rows=np.asarray(diag_rows, np.int64),
+            diag_dofs=np.asarray(diag_dofs, np.int64),
+            adr3=adr3.astype(np.int64),
+            perm=perm,
+            inv_perm=inv_perm,
+            is_fric=is_fric,
+            one_sided=one_sided,
+        )
+
+    st = build()
+    _CACHE[key] = st
+    return st
+
+
 
 
 def _geom_support(s) -> np.ndarray:
@@ -133,6 +286,9 @@ def make_constraint(m: Model, d: Data) -> Data:
         return d
 
     efc_J = jnp.zeros((nefc, nv), dtype)
+    efc_bJ = jnp.zeros(d.efc_bJ.shape, dtype)
+    efc_dsc = jnp.zeros(d.efc_dsc.shape, dtype)
+    ndiag = efc_dsc.shape[0]  # > 0 iff the rows factor (PyramidStructure)
     efc_pos = jnp.zeros((nefc,), dtype)
     efc_margin = jnp.zeros((nefc,), dtype)
     efc_D = jnp.zeros((nefc,), dtype)
@@ -251,6 +407,10 @@ def make_constraint(m: Model, d: Data) -> Data:
         rows = np.arange(row, row + nfd)
         k, b, imp = _kbi(m, m.dof_solref[dofs], m.dof_solimp[dofs], jnp.zeros((nfd,), dtype))
         efc_J = efc_J.at[rows, dofs].set(1.0)
+        if ndiag:
+            # one-hot values for the structured solver: dof-friction rows are
+            # the first nfd entries of the diag section (PyramidStructure)
+            efc_dsc = efc_dsc.at[:nfd].set(1.0)
         efc_aref = efc_aref.at[rows].set(-b * d.qvel[dofs])
         efc_D = efc_D.at[rows].set(imp / jnp.maximum((1 - imp) * m.dof_invweight0[dofs], _MINVAL))
         efc_fl = efc_fl.at[rows].set(m.dof_frictionloss[dofs])
@@ -300,6 +460,10 @@ def make_constraint(m: Model, d: Data) -> Data:
             onehot = np.zeros((len(rows), nv), np.float64)
             onehot[np.arange(len(rows)), das] = 1.0
             efc_J = _set_rows(efc_J, rows, sign[:, None] * jnp.asarray(onehot, dtype))
+            if ndiag:
+                # scalar-limit signs fill the diag section after the nfd
+                # dof-friction entries (PyramidStructure.diag_rows order)
+                efc_dsc = efc_dsc.at[nfd : nfd + len(rows)].set(sign.astype(dtype))
             efc_pos = _set_rows(efc_pos, rows, pos)
             efc_margin = _set_rows(efc_margin, rows, margin.astype(dtype))
             efc_aref = _set_rows(efc_aref, rows, -b * jqvel - k * imp * pos)
@@ -457,14 +621,22 @@ def make_constraint(m: Model, d: Data) -> Data:
                 row_Js = [jn]
                 jq_rows = [jnq]
             else:
-                row_Js, jq_rows = [], []
+                row_Js, jq_rows, mbs = [], [], []
                 for f in range(1, cdim):
                     base = jframe[f][slots] if f < 3 else jframe_rot[f - 3][slots]
                     mu_f = c.friction[slots][:, f - 1]  # (S,)
                     mb = mu_f[:, None] * base
+                    mbs.append(mb)
                     bq = mu_f * jnp.sum(base * d.qvel, axis=-1)
                     row_Js += [jn + mb, jn - mb]
                     jq_rows += [jnq + bq, jnq - bq]
+                if cdim == 3 and not elliptic and efc_bJ.shape[0] == 3 * len(slots):
+                    # factored basis [N | mu1*T1 | mu2*T2] for the structured
+                    # Newton kernel (Data.efc_bJ); slot order matches
+                    # PyramidStructure.adr3 (both iterate con_dim == 3). The
+                    # shape check skips skeletons that don't qualify for the
+                    # structured layout (efc_bJ is (0, nv) there).
+                    efc_bJ = jnp.concatenate([jn, mbs[0], mbs[1]], axis=0)
             kip = k[slots] * imp[slots] * pos_c[slots]
             aref_rows = [-b[slots] * jq - kip for jq in jq_rows]
             Jblk = jnp.stack(row_Js, axis=1).reshape(-1, nv)  # (S*nrow, nv)
@@ -480,6 +652,8 @@ def make_constraint(m: Model, d: Data) -> Data:
 
     return d.replace(
         efc_J=efc_J,
+        efc_bJ=efc_bJ,
+        efc_dsc=efc_dsc,
         efc_pos=efc_pos,
         efc_margin=efc_margin,
         efc_D=efc_D,

@@ -9,10 +9,20 @@ import numpy as np
 from ambersim_tpu.core.types import Contact, Data, Model
 
 
+def _pyr_sizes(s) -> tuple[int, int]:
+    """(ncon3, ndiag) when the efc rows factor (sizes Data.efc_bJ/efc_dsc);
+    (0, 0) when the model doesn't qualify."""
+    from ambersim_tpu.engine.constraint import _pyramid_structure
+
+    st = _pyramid_structure(s)
+    return (st.ncon3, st.ndiag) if st is not None else (0, 0)
+
+
 def make_data(m: Model, dtype=jnp.float32) -> Data:
     """Allocate a fresh single-env Data at qpos0, zero velocity."""
     s = m.skel
     z = lambda *shape: jnp.zeros(shape, dtype)  # noqa: E731
+    ncon3, ndiag = _pyr_sizes(s)
     mocap_ids = np.asarray(s.mocap_bodyid, np.int32)
     contact = Contact(
         dist=jnp.full((s.ncon,), 1e10, dtype),
@@ -71,6 +81,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qacc=z(s.nv),
         contact=contact,
         efc_J=z(s.nefc, s.nv),
+        efc_bJ=z(3 * ncon3, s.nv),
+        efc_dsc=z(ndiag),
         efc_D=z(s.nefc),
         efc_aref=z(s.nefc),
         efc_pos=z(s.nefc),

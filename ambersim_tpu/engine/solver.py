@@ -26,6 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ambersim_tpu.core.types import ConeType, Data, DisableBit, Model
+from ambersim_tpu.engine.constraint import PyramidStructure, _pyramid_structure  # noqa: F401
+
+# PyramidStructure/_pyramid_structure live in engine.constraint (colocated
+# with the row walk they mirror) and are re-exported here for the solver's
+# consumers and tests.
 
 
 class _Ctx(NamedTuple):
@@ -234,10 +239,17 @@ def solve(m: Model, d: Data) -> Data:
     return _solve_newton(m, d)
 
 
-def _newton_arrays_jnp(J, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterations, ls_iterations, use_ws):
+def _newton_arrays_jnp(
+    J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterations, ls_iterations, use_ws
+):
     """Unbatched Newton on plain arrays (pyramidal cones only) — the primal
     of the custom_vmap dispatch and the non-TPU fallback. Mirrors the Pallas
-    kernel (ops/newton_pallas.py) op for op."""
+    kernel (ops/newton_pallas.py) op for op. `bJ`/`dsc` (the factored
+    operands, Data.efc_bJ/efc_dsc) are unused here: the dense rows carry the
+    same information, so gradients routed through this primal
+    (differentiable_dispatch) flow through J's assembly and cover the
+    structured forward exactly."""
+    del bJ, dsc
     from ambersim_tpu.engine import linalg
 
     nv = a_s.shape[-1]
@@ -318,10 +330,14 @@ def _newton_arrays_jnp(J, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterati
 _DISPATCH_CACHE: dict = {}
 
 
-def _newton_dispatch(ne: int, nf: int, iterations: int, ls_iterations: int, use_ws: bool):
+def _newton_dispatch(
+    ne: int, nf: int, iterations: int, ls_iterations: int, use_ws: bool, skel=None
+):
     """custom_vmap entry: per-env calls run the jnp path; vmapped calls on TPU
-    collapse the whole Newton solve into one Pallas kernel per 128-env tile."""
-    key = (ne, nf, iterations, ls_iterations, use_ws)
+    collapse the whole Newton solve into one Pallas kernel per 128-env tile
+    (the structured-layout kernel when the skeleton's rows factor — see
+    PyramidStructure — else the dense one)."""
+    key = (ne, nf, iterations, ls_iterations, use_ws, skel)
     if key in _DISPATCH_CACHE:
         return _DISPATCH_CACHE[key]
 
@@ -333,25 +349,42 @@ def _newton_dispatch(ne: int, nf: int, iterations: int, ls_iterations: int, use_
     primal = functools.partial(_newton_arrays_jnp, **statics)
 
     @jax.custom_batching.custom_vmap
-    def fn(J, qM, aref, D, fl, act, a_s, ws, tol):
-        return primal(J, qM, aref, D, fl, act, a_s, ws, tol)
+    def fn(J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol):
+        return primal(J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol)
 
     @fn.def_vmap
-    def _rule(axis_size, in_batched, J, qM, aref, D, fl, act, a_s, ws, tol):
-        args = [J, qM, aref, D, fl, act, a_s, ws]
+    def _rule(axis_size, in_batched, J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol):
+        args = [J, bJ, dsc, qM, aref, D, fl, act, a_s, ws]
         args = [
             x if bd else jnp.broadcast_to(x, (axis_size,) + x.shape)
-            for x, bd in zip(args, in_batched[:8])
+            for x, bd in zip(args, in_batched[:10])
         ]
-        J, qM, aref, D, fl, act, a_s, ws = args
-        if in_batched[8]:
+        J, bJ, dsc, qM, aref, D, fl, act, a_s, ws = args
+        if in_batched[10]:
             tol = tol[0]  # tolerance is env-invariant
         if jax.devices()[0].platform == "tpu" and J.ndim == 3:
-            from ambersim_tpu.ops.newton_pallas import newton_solve_batched
+            import os
 
-            out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **statics)
+            # escape hatch / A-B knob: AMBERSIM_NEWTON_DENSE=1 forces the
+            # dense-layout kernel (read at trace time)
+            dense_only = os.environ.get("AMBERSIM_NEWTON_DENSE") == "1"
+            st = _pyramid_structure(skel) if (skel is not None and not dense_only) else None
+            if st is not None:
+                from ambersim_tpu.ops.newton_pallas import newton_solve_structured
+
+                out = newton_solve_structured(
+                    J, qM, aref, D, fl, act, a_s, ws, tol,
+                    st=st, bJ=bJ, dsc=dsc, iterations=iterations,
+                    ls_iterations=ls_iterations, use_ws=use_ws,
+                )
+            else:
+                from ambersim_tpu.ops.newton_pallas import newton_solve_batched
+
+                out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **statics)
         else:
-            out = jax.vmap(primal, in_axes=(0,) * 8 + (None,))(J, qM, aref, D, fl, act, a_s, ws, tol)
+            out = jax.vmap(primal, in_axes=(0,) * 10 + (None,))(
+                J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol
+            )
         return out, (True, True, True)
 
     from ambersim_tpu.engine.linalg import differentiable_dispatch
@@ -371,9 +404,11 @@ def _solve_newton(m: Model, d: Data) -> Data:
         ls = int(max(m.opt.ls_iterations, 1))
         use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
         tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
-        fn = _newton_dispatch(int(s.ne), int(s.nf), iters, ls, bool(use_ws))
+        fn = _newton_dispatch(int(s.ne), int(s.nf), iters, ls, bool(use_ws), skel=s)
         qacc, force, qfrc = fn(
             d.efc_J,
+            d.efc_bJ,
+            d.efc_dsc,
             d.qM,
             d.efc_aref,
             d.efc_D,

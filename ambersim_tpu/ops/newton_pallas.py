@@ -310,3 +310,424 @@ def newton_solve_batched(
         jnp.moveaxis(force_t[:, :b], -1, 0),
         jnp.moveaxis(qfrc_t[:, :b], -1, 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured-layout variant: factored pyramid contacts + one-hot rows
+# ---------------------------------------------------------------------------
+#
+# When the skeleton's rows factor (engine/solver.py PyramidStructure), the
+# kernel never materializes the dense (nefc, nv, B) J or the J*h product:
+#
+#   * condim-3 contacts enter as the basis [N, U1, U2] (U_k = mu_k T_k); the
+#     per-iteration Gram J^T diag(h) J becomes B^T S B with 5 scalar
+#     coefficients per contact — 3 basis rows instead of 4 dense rows, and
+#     the scaled buffer S@B replaces the full J*h (272 -> 168 row-buffers of
+#     live VMEM per iteration on the quadruped: smaller working set AND
+#     ~40% less VPU work in the dominant term).
+#   * one-hot rows (dof friction, scalar joint limits) cost a diagonal
+#     Hessian update and a tiny (ndiag, n) one-hot matmul in J/J^T products.
+#
+# The math is IDENTICAL to the dense kernel — the basis is recovered from
+# the assembled rows by half sums/differences (N = (r0+r1)/2, U1 = (r0-r1)/2,
+# U2 = (r2-r3)/2), so results differ only by fp reassociation. Row-type
+# gating uses static masks baked in kernel row order
+# [dense | one-hot | N+U1* | N-U1* | N+U2* | N-U2*] (contact rows grouped by
+# pyramid direction for contiguous slicing); per-row operands are permuted
+# outside the kernel and efc_force is inverse-permuted on return.
+
+
+def _structured_kernel(
+    *refs,
+    nd: int,
+    ndiag: int,
+    ncon: int,
+    nd_eq: int,
+    nd_ft: int,
+    nfd: int,
+    iterations: int,
+    ls_iterations: int,
+    use_ws: bool,
+):
+    if nd:
+        Jd_ref = refs[0]
+        refs = refs[1:]
+    if ndiag:
+        dsc_ref, Oc_ref = refs[:2]
+        refs = refs[2:]
+    (Bs_ref, M_ref, aref_ref, D_ref, fl_ref, act_ref, as_ref, ws_ref,
+     tol_ref, qacc_ref, force_ref, qfrc_ref) = refs
+
+    n, B = as_ref.shape
+    dtype = as_ref.dtype
+    nb = 3 * ncon
+    nefc = aref_ref.shape[0]
+    Jd = Jd_ref[...] if nd else None  # (nd, n, B)
+    dsc = dsc_ref[...] if ndiag else None  # (ndiag, B) signed one-hot values
+    Oc = Oc_ref[...] if ndiag else None  # (ndiag, n) static one-hot table
+    Bs = Bs_ref[...]  # (nb, n, B) basis rows [N*, U1*, U2*]
+    M = M_ref[...]
+    aref_v = aref_ref[...]
+    D = D_ref[...]
+    fl = fl_ref[...]
+    act = act_ref[...]
+    a_s = as_ref[...]
+    tol = tol_ref[0, 0]
+
+    # row-type masks from the static family-segment boundaries (kernel order
+    # is [eq | tendon-fric | dense one-sided | dof-fric | limits | contacts])
+    row = jax.lax.broadcasted_iota(jnp.int32, (nefc, 1), 0)
+    in_diag_fric = (row >= nd) & (row < nd + nfd)
+    is_fric = (((row >= nd_eq) & (row < nd_eq + nd_ft)) | in_diag_fric).astype(dtype)
+    one_sided = ((row >= nd_eq + nd_ft) & ~in_diag_fric).astype(dtype)
+    not_fric = 1.0 - is_fric
+
+    def jmul(x):  # (n, B) -> (nefc, B) in kernel row order
+        parts = []
+        if nd:
+            parts.append((Jd * x[None, :, :]).sum(axis=1))
+        if ndiag:
+            parts.append(dsc * (Oc[:, :, None] * x[None, :, :]).sum(axis=1))
+        jb = (Bs * x[None, :, :]).sum(axis=1)  # (nb, B)
+        jN, jU1, jU2 = jb[:ncon], jb[ncon : 2 * ncon], jb[2 * ncon :]
+        parts += [jN + jU1, jN - jU1, jN + jU2, jN - jU2]
+        return jnp.concatenate(parts, axis=0)
+
+    def jtmul(f):  # (nefc, B) -> (n, B)
+        fc = f[nd + ndiag :]
+        f0, f1 = fc[:ncon], fc[ncon : 2 * ncon]
+        f2, f3 = fc[2 * ncon : 3 * ncon], fc[3 * ncon :]
+        coef = jnp.concatenate([f0 + f1 + f2 + f3, f0 - f1, f2 - f3], axis=0)
+        out = (Bs * coef[:, None, :]).sum(axis=0)
+        if ndiag:
+            fg = f[nd : nd + ndiag]
+            out = out + (Oc[:, :, None] * (dsc * fg)[:, None, :]).sum(axis=0)
+        if nd:
+            out = out + (Jd * f[:nd][:, None, :]).sum(axis=0)
+        return out
+
+    def mmul(x):
+        return (M * x[None, :, :]).sum(axis=1)
+
+    def force_quadD(jart):
+        neg = (jart < 0).astype(dtype)
+        gated = (one_sided * neg + (1.0 - one_sided)) * act
+        Dj = D * jart
+        lin = (jnp.abs(Dj) > fl).astype(dtype)
+        fric_force = lin * (-jnp.sign(jart) * fl) + (1.0 - lin) * (-Dj)
+        force = (is_fric * fric_force + not_fric * (-Dj)) * gated
+        quadD = D * (is_fric * (1.0 - lin) + not_fric) * gated
+        return force, quadD
+
+    def row_cost(jart):
+        neg = (jart < 0).astype(dtype)
+        gated = (one_sided * neg + (1.0 - one_sided)) * act
+        Dj = D * jart
+        quad_cost = 0.5 * Dj * jart
+        lin = (jnp.abs(Dj) > fl).astype(dtype)
+        fric_cost = lin * (fl * jnp.abs(jart) - 0.5 * fl * fl / jnp.maximum(D, 1e-12)) + (
+            1.0 - lin
+        ) * quad_cost
+        return (is_fric * fric_cost + not_fric * quad_cost) * gated
+
+    def total_cost(qacc, jar):
+        dacc = qacc - a_s
+        smooth = 0.5 * (dacc * mmul(dacc)).sum(axis=0)
+        return smooth + row_cost(jar).sum(axis=0)
+
+    jar_s = jmul(a_s) - aref_v
+    cost_s = total_cost(a_s, jar_s)
+    qacc, jar, cost = a_s, jar_s, cost_s
+    if use_ws:
+        ws = ws_ref[...]
+        jar_w = jmul(ws) - aref_v
+        cost_w = total_cost(ws, jar_w)
+        bet = (cost_w < cost_s).astype(dtype)
+        qacc = bet[None, :] * ws + (1.0 - bet[None, :]) * a_s
+        jar = bet[None, :] * jar_w + (1.0 - bet[None, :]) * jar_s
+        cost = bet * cost_w + (1.0 - bet) * cost_s
+
+    prev_cost = jnp.full((B,), 1e30, dtype)
+    eye_mask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1),
+        jnp.asarray(1.0, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+
+    def hessian(h):
+        """M + J^T diag(h) J via the factored layout."""
+        hc = h[nd + ndiag :]
+        h0, h1 = hc[:ncon], hc[ncon : 2 * ncon]
+        h2, h3 = hc[2 * ncon : 3 * ncon], hc[3 * ncon :]
+        sNN = h0 + h1 + h2 + h3
+        sU1, sU2 = h0 + h1, h2 + h3
+        sNU1, sNU2 = h0 - h1, h2 - h3
+        N = Bs[:ncon]
+        U1 = Bs[ncon : 2 * ncon]
+        U2 = Bs[2 * ncon :]
+        SB = jnp.concatenate(
+            [
+                sNN[:, None, :] * N + sNU1[:, None, :] * U1 + sNU2[:, None, :] * U2,
+                sNU1[:, None, :] * N + sU1[:, None, :] * U1,
+                sNU2[:, None, :] * N + sU2[:, None, :] * U2,
+            ],
+            axis=0,
+        )  # (nb, n, B)
+        H = M + 1e-8 * eye_mask
+        if ndiag:
+            # diagonal of the one-hot rows: s^2 == 1 for every one-hot row,
+            # but keep the general form (costs one multiply)
+            hg = h[nd : nd + ndiag]
+            hd = (Oc[:, :, None] * (hg * dsc * dsc)[:, None, :]).sum(axis=0)  # (n, B)
+            H = H + eye_mask * hd[:, None, :]
+        rows = [(Bs[:, v : v + 1, :] * SB).sum(axis=0) for v in range(n)]
+        H = H + jnp.stack(rows, axis=0)
+        if nd:
+            Jhd = Jd * h[:nd][:, None, :]
+            rows_d = [(Jd[:, v : v + 1, :] * Jhd).sum(axis=0) for v in range(n)]
+            H = H + jnp.stack(rows_d, axis=0)
+        return H
+
+    def newton_body(carry):
+        qacc, jar, cost, prev_cost = carry
+        force, h = force_quadD(jar)
+        Mdacc = mmul(qacc - a_s)
+        grad = Mdacc - jtmul(force)
+        H = hessian(h)
+        L = _chol_columns(H, n)
+        p = -_solve_from_l(L, grad, n)
+        jp = jmul(p)
+
+        mp = mmul(p)
+        pmp = (p * mp).sum(axis=0)
+        pma = (p * Mdacc).sum(axis=0)
+
+        def ls_body(_, t):
+            jart = jar + t[None, :] * jp
+            force_t, h_t = force_quadD(jart)
+            g = pma + t * pmp - (force_t * jp).sum(axis=0)
+            hh = pmp + (h_t * jp * jp).sum(axis=0)
+            return t - g / jnp.maximum(hh, 1e-12)
+
+        nls = max(ls_iterations, 1)
+        t = jnp.zeros((B,), dtype)
+        if nls <= 8:
+            for _ls in range(nls):
+                t = ls_body(0, t)
+        else:
+            t = jax.lax.fori_loop(0, nls, ls_body, t)
+        t = jnp.clip(t, 0.0, 4.0)
+
+        qacc_n = qacc + t[None, :] * p
+        jar_n = jar + t[None, :] * jp
+        cost_n = total_cost(qacc_n, jar_n)
+        act_f = (prev_cost - cost > tol).astype(dtype)
+        take = (cost_n < cost).astype(dtype) * act_f
+        keep = 1.0 - take
+        qacc = take[None, :] * qacc_n + keep[None, :] * qacc
+        jar = take[None, :] * jar_n + keep[None, :] * jar
+        prev_cost = act_f * cost + (1.0 - act_f) * prev_cost
+        cost = take * cost_n + keep * cost
+        return qacc, jar, cost, prev_cost
+
+    carry = (qacc, jar, cost, prev_cost)
+    if iterations <= 8:
+        for _ in range(iterations):
+            carry = newton_body(carry)
+    else:
+        carry = jax.lax.fori_loop(0, iterations, lambda _, c: newton_body(c), carry)
+    qacc, jar = carry[0], carry[1]
+
+    force, _ = force_quadD(jar)
+    qacc_ref[...] = qacc
+    force_ref[...] = force  # kernel row order; caller inverse-permutes
+    qfrc_ref[...] = jtmul(force)
+
+
+def newton_solve_structured(
+    J: jax.Array,  # (Bt, nefc, nv) — MuJoCo row order
+    qM: jax.Array,
+    aref: jax.Array,
+    D: jax.Array,
+    fl: jax.Array,
+    active: jax.Array,
+    qacc_smooth: jax.Array,
+    warmstart: jax.Array,
+    tol: jax.Array,
+    *,
+    st,  # engine.constraint.PyramidStructure
+    bJ: jax.Array | None = None,  # (Bt, 3*ncon3, nv) assembly-emitted basis
+    dsc: jax.Array | None = None,  # (Bt, ndiag) assembly-emitted one-hot values
+    iterations: int,
+    ls_iterations: int,
+    use_ws: bool,
+    interpret: bool = False,
+    tile: int | None = None,
+):
+    """Structured-layout Newton solve. Same contract as newton_solve_batched;
+    outputs are in MuJoCo row order. When `bJ` (Data.efc_bJ) is given, the
+    contact basis comes straight from constraint assembly — the dense contact
+    rows of J are then unread, so XLA drops their materialization inside
+    rollout scans; otherwise the basis is recovered from J by static
+    half-sum/difference slices (exact either way)."""
+    import numpy as np
+
+    b, nefc, n = J.shape
+    dtype = J.dtype
+    nd, ndiag, ncon = st.nd, st.ndiag, st.ncon3
+
+    # Measured dead end (do not retry): padding each row section to a sublane
+    # multiple (8) to keep the kernel's section slices tile-aligned LOSES —
+    # the +14% Gram rows (ncon 28 -> 32 on the quadruped) cost more than the
+    # misaligned-slice copies they avoid (padded min 1.93 ms vs 1.80 ms
+    # unpadded, and +2.9 MiB scoped vmem). Sections stay unpadded; the
+    # pad/valid machinery below degenerates to the plain permutation.
+    pad8 = lambda k: k  # noqa: E731
+    ndp, ngp, ncp = pad8(nd), pad8(ndiag), pad8(ncon)
+    nefc_k = ndp + ngp + 4 * ncp
+    nb = 3 * ncp
+
+    # ---- static extraction of the factored operands from the dense rows ----
+    def rpad(x, rows):  # pad the row axis (axis 1) with zeros to `rows`
+        return jnp.pad(x, ((0, 0), (0, rows - x.shape[1])) + ((0, 0),) * (x.ndim - 2))
+
+    Jd = rpad(J[:, st.dense_rows], ndp) if nd else None  # (b, ndp, nv)
+    if ndiag:
+        if dsc is None or dsc.shape[1] != ndiag:
+            dsc = J[:, st.diag_rows, st.diag_dofs]  # fall back to row gather
+        dsc = rpad(dsc, ngp)  # (b, ngp)
+    else:
+        dsc = None
+    if bJ is not None and bJ.shape[1] == 3 * ncon:
+        N = rpad(bJ[:, :ncon], ncp)
+        U1 = rpad(bJ[:, ncon : 2 * ncon], ncp)
+        U2 = rpad(bJ[:, 2 * ncon :], ncp)
+    else:
+        R = J[:, st.adr3[:, None] + np.arange(4)[None]]  # (b, ncon, 4, nv)
+        N = rpad(0.5 * (R[:, :, 0] + R[:, :, 1]), ncp)
+        U1 = rpad(0.5 * (R[:, :, 0] - R[:, :, 1]), ncp)
+        U2 = rpad(0.5 * (R[:, :, 2] - R[:, :, 3]), ncp)
+    Bs = jnp.concatenate([N, U1, U2], axis=1)  # (b, nb, nv)
+
+    # kernel-order row map with zeroed padding rows (gather then mask)
+    perm_pad = np.zeros(nefc_k, np.int64)
+    valid = np.zeros(nefc_k, np.float32)
+    sections = [
+        (0, st.dense_rows),
+        (ndp, st.diag_rows),
+        (ndp + ngp, st.adr3 + 0),
+        (ndp + ngp + ncp, st.adr3 + 1),
+        (ndp + ngp + 2 * ncp, st.adr3 + 2),
+        (ndp + ngp + 3 * ncp, st.adr3 + 3),
+    ]
+    kinv = np.zeros(nefc, np.int64)  # MuJoCo row -> kernel row
+    for base, rows in sections:
+        idx = np.arange(len(rows))
+        perm_pad[base + idx] = rows
+        valid[base + idx] = 1.0
+        kinv[rows] = base + idx
+    vmask = jnp.asarray(valid, dtype)[None]
+    aref_k, D_k, fl_k = (x[:, perm_pad] * vmask for x in (aref, D, fl))
+    act_k = active[:, perm_pad].astype(dtype) * vmask
+
+    onehot = np.zeros((ngp, n), np.float32)
+    if ndiag:
+        onehot[np.arange(ndiag), st.diag_dofs] = 1.0
+
+    if tile is None:
+        # basis + S@B are the per-iteration row buffers; M, H, L and the
+        # per-row vectors round out the working set. The 3.5x factor is
+        # calibrated against Mosaic's measured scoped-vmem (quadruped shapes:
+        # 22.6 MiB at tile 256 vs the 26.5 KiB/env buffer estimate).
+        n_pad = -(-n // 8) * 8
+        per_env = 4 * (2 * (nb + ndp) * n_pad + 3 * n * n + 10 * nefc_k + 12 * n + 2 * ngp)
+        tile = next((t for t in (512, 256, 128) if 3.5 * per_env * t < 15.5 * 2**20), 128)
+    bp = -(-b // tile) * tile
+
+    def bpad(x, fill=0.0):
+        xt = jnp.moveaxis(x, 0, -1)
+        pad = [(0, 0)] * (xt.ndim - 1) + [(0, bp - b)]
+        return jnp.pad(xt, pad, constant_values=fill)
+
+    M_t = bpad(qM)
+    if bp > b:
+        eye = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1),
+            jnp.ones((), dtype),
+            jnp.zeros((), dtype),
+        )
+        pad_mask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bp), 2) >= b
+        M_t = jnp.where(pad_mask, eye, M_t)
+
+    args = []
+    in_specs = []
+    if nd:
+        args.append(bpad(Jd))
+        in_specs.append(
+            pl.BlockSpec((ndp, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        )
+    if ndiag:
+        args += [bpad(dsc), jnp.asarray(onehot, dtype)]
+        in_specs += [
+            pl.BlockSpec((ngp, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngp, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    args += [bpad(Bs), M_t]
+    in_specs += [
+        pl.BlockSpec((nb, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    args += [
+        bpad(aref_k),
+        bpad(D_k),
+        bpad(fl_k),
+        bpad(act_k),
+        bpad(qacc_smooth),
+        bpad(warmstart),
+        jnp.reshape(tol.astype(dtype), (1, 1)),
+    ]
+    in_specs += [
+        pl.BlockSpec((nefc_k, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc_k, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc_k, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc_k, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(
+        _structured_kernel,
+        nd=ndp,
+        ndiag=ngp,
+        ncon=ncp,
+        nd_eq=st.nd_eq,
+        nd_ft=st.nd_ft,
+        nfd=st.nfd,
+        iterations=iterations,
+        ls_iterations=ls_iterations,
+        use_ws=use_ws,
+    )
+    qacc_t, force_t, qfrc_t = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nefc_k, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, bp), dtype),
+            jax.ShapeDtypeStruct((nefc_k, bp), dtype),
+            jax.ShapeDtypeStruct((n, bp), dtype),
+        ),
+        interpret=interpret,
+    )(*args)
+    force = jnp.moveaxis(force_t[:, :b], -1, 0)[:, kinv]
+    return (
+        jnp.moveaxis(qacc_t[:, :b], -1, 0),
+        force,
+        jnp.moveaxis(qfrc_t[:, :b], -1, 0),
+    )

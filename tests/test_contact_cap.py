@@ -46,8 +46,9 @@ def _quadruped_xml() -> str:
     with open(os.path.join(ROOT, "models/quadruped/quadruped.xml")) as f:
         xml = f.read()
     # strip any cap already baked into the packaged model: these tests
-    # construct capped/uncapped variants themselves
-    if "max_contact_points" in xml:
+    # construct capped/uncapped variants themselves (the packaged model may
+    # mention max_contact_points in a comment without carrying a <custom> cap)
+    if "<custom>" in xml and "max_contact_points" in xml:
         start = xml.index("<custom>")
         end = xml.index("</custom>") + len("</custom>")
         xml = xml[:start] + xml[end:]

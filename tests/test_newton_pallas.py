@@ -104,3 +104,127 @@ def test_pallas_newton_quadruped_nv18():
     from ambersim_tpu.utils.io_utils import load_model_from_file
 
     _run_parity(load_model_from_file("models/quadruped/quadruped.xml"), check_rows=False)
+
+
+# ---------------- structured-layout kernel (factored pyramid rows) ----------
+
+
+def _run_structured_parity(m):
+    from ambersim_tpu.engine.solver import _pyramid_structure
+    from ambersim_tpu.ops.newton_pallas import newton_solve_structured
+
+    s = m.skel
+    st = _pyramid_structure(s)
+    assert st is not None, "model should qualify for the structured layout"
+
+    nq, nv = s.nq, s.nv
+    B = 20
+    d0 = make_data(m)
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    def init(k):
+        k1, k2 = jax.random.split(k)
+        return d0.replace(
+            qpos=d0.qpos + 0.03 * jax.random.normal(k1, (nq,)),
+            qvel=0.5 * jax.random.normal(k2, (nv,)),
+        )
+
+    batch = jax.vmap(init)(keys)
+    batch = jax.vmap(lambda dd: _pre_solve(m, dd))(batch)
+
+    # --- static-structure invariants vs the actually assembled rows ---
+    J = np.asarray(batch.efc_J)
+    # one-hot rows: exactly one nonzero, at the static dof
+    for r, dof in zip(st.diag_rows, st.diag_dofs):
+        other = np.delete(J[:, r, :], dof, axis=-1)
+        assert np.all(other == 0.0), f"row {r} not one-hot"
+    # pyramid blocks: r0+r1 == r2+r3 (both equal 2N)
+    R = J[:, st.adr3[:, None] + np.arange(4)[None]]
+    np.testing.assert_allclose(
+        R[:, :, 0] + R[:, :, 1], R[:, :, 2] + R[:, :, 3], rtol=1e-5, atol=1e-6
+    )
+    # perm is a bijection
+    assert np.array_equal(np.sort(st.perm), np.arange(s.nefc))
+    assert np.array_equal(st.perm[st.inv_perm], np.arange(s.nefc))
+    # the kernel's iota-derived masks match the family classification
+    row = np.arange(s.nefc)[:, None]
+    in_df = (row >= st.nd) & (row < st.nd + st.nfd)
+    np.testing.assert_array_equal(
+        st.is_fric,
+        (((row >= st.nd_eq) & (row < st.nd_eq + st.nd_ft)) | in_df).astype(np.float32),
+    )
+    np.testing.assert_array_equal(
+        st.one_sided, ((row >= st.nd_eq + st.nd_ft) & ~in_df).astype(np.float32)
+    )
+
+    # --- assembly-emitted basis (Data.efc_bJ) matches extraction from rows ---
+    ncon = st.ncon3
+    bJ = np.asarray(batch.efc_bJ)
+    np.testing.assert_allclose(
+        bJ[:, :ncon], 0.5 * (R[:, :, 0] + R[:, :, 1]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        bJ[:, ncon : 2 * ncon], 0.5 * (R[:, :, 0] - R[:, :, 1]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        bJ[:, 2 * ncon :], 0.5 * (R[:, :, 2] - R[:, :, 3]), rtol=1e-5, atol=1e-6
+    )
+    # assembly-emitted one-hot values match the rows
+    np.testing.assert_allclose(
+        np.asarray(batch.efc_dsc), J[:, st.diag_rows, st.diag_dofs], rtol=0, atol=0
+    )
+
+    # --- solve parity vs the jnp path (both basis sources) ---
+    ref = jax.vmap(lambda dd: solver.solve(m, dd), in_axes=0)(batch)
+    iters = int(max(m.opt.iterations, 1))
+    ls = int(max(m.opt.ls_iterations, 1))
+    tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
+    for bJ_arg, dsc_arg in ((None, None), (batch.efc_bJ, batch.efc_dsc)):
+        qacc, force, qfrc = newton_solve_structured(
+            batch.efc_J,
+            batch.qM,
+            batch.efc_aref,
+            batch.efc_D,
+            batch.efc_frictionloss,
+            batch.efc_active.astype(jnp.float32),
+            batch.qacc_smooth,
+            batch.qacc_warmstart,
+            tol,
+            st=st,
+            bJ=bJ_arg,
+            dsc=dsc_arg,
+            iterations=iters,
+            ls_iterations=ls,
+            use_ws=True,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(qacc), np.asarray(ref.qacc), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(force), np.asarray(ref.efc_force), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(qfrc), np.asarray(ref.qfrc_constraint), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_structured_newton_quadruped():
+    """Fully structured model: 0 dense rows, 24 one-hot, 28 pyramid blocks."""
+    from ambersim_tpu.engine.solver import _pyramid_structure
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    m = load_model_from_file("models/quadruped/quadruped.xml")
+    st = _pyramid_structure(m.skel)
+    assert st.nd == 0 and st.ndiag == 24 and st.ncon3 == 28
+    _run_structured_parity(m)
+
+
+def test_structured_newton_mixed_rows():
+    """Equality + tendon-free scene with dense, one-hot, and pyramid rows."""
+    from ambersim_tpu.engine.setconst import set_constants
+
+    m = set_constants(compile_spec(parse_mjcf_string(CONTACT_SCENE)))
+    from ambersim_tpu.engine.solver import _pyramid_structure
+
+    st = _pyramid_structure(m.skel)
+    assert st is not None and st.nd > 0 and st.ndiag > 0 and st.ncon3 > 0
+    _run_structured_parity(m)

@@ -21,3 +21,15 @@ except Exception:  # older jax: fall back to XLA flag (must precede backend init
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: the suite is compile-bound on CPU (single
+# core in CI), and most wall time is re-tracing identical programs across
+# runs. Cache compiled executables on disk so repeat runs (local iteration,
+# CI re-runs) skip XLA compilation entirely.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass  # older jax without the persistent-cache config: compile as usual

@@ -68,6 +68,7 @@ def _rollout(m, nsteps, kp=60.0, kd=2.0):
     return d
 
 
+@pytest.mark.slow
 def test_capped_layout():
     xml = _quadruped_xml()
     m0 = _compile(xml)
@@ -81,6 +82,7 @@ def test_capped_layout():
     assert len(m1.skel.con_dim) == 16 and len(m1.skel.con_efcadr) == 16
 
 
+@pytest.mark.slow
 def test_capped_matches_uncapped_when_under_cap():
     # standing quadruped: 4 foot contacts active, far under the cap of 16
     xml = _quadruped_xml()
@@ -99,6 +101,7 @@ def test_capped_matches_uncapped_when_under_cap():
     assert active0 == active1
 
 
+@pytest.mark.slow
 def test_overflow_keeps_deepest():
     # 6 spheres resting on the floor, cap 3: sim must stay finite and the
     # 3 deepest contacts must be the selected slots

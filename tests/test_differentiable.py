@@ -59,6 +59,7 @@ def test_grad_matches_finite_difference_smooth():
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_grad_through_contact_solve():
     """Gradients through the Newton contact solve are finite and vmappable."""
     m = _model(BALL_DROP)
@@ -84,6 +85,7 @@ def test_grad_through_contact_solve():
     np.testing.assert_allclose(float(gb[0]), float(g), rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_grad_wrt_model_field():
     """Differentiating wrt a physical model parameter (gravity)."""
     m = _model(PENDULUM)

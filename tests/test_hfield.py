@@ -89,6 +89,7 @@ def test_hfield_sphere_depth_parity():
     assert checked >= 2  # the sweep must actually hit the surface
 
 
+@pytest.mark.slow
 def test_flat_hfield_matches_plane():
     """A flat hfield behaves like a plane: bounce rollout parity vs a plane
     model through the full contact pipeline."""

@@ -92,12 +92,14 @@ def _run_parity(m, check_rows=True):
     )
 
 
+@pytest.mark.slow
 def test_pallas_newton_matches_jnp():
     from ambersim_tpu.engine.setconst import set_constants
 
     _run_parity(set_constants(compile_spec(parse_mjcf_string(CONTACT_SCENE))))
 
 
+@pytest.mark.slow
 def test_pallas_newton_quadruped_nv18():
     """nv = 18 > 2 sublane tiles: exercises the lower-triangle Hessian
     assembly padding and the aligned-block Cholesky updates (j0 = 8, 16)."""
@@ -207,6 +209,7 @@ def _run_structured_parity(m):
         )
 
 
+@pytest.mark.slow
 def test_structured_newton_quadruped():
     """Fully structured model: 0 dense rows, 24 one-hot, 28 pyramid blocks."""
     from ambersim_tpu.engine.solver import _pyramid_structure

@@ -12,6 +12,8 @@ import tempfile
 import mujoco
 import numpy as np
 
+import pytest
+
 import jax
 
 from ambersim_tpu.engine import forward, make_data
@@ -81,6 +83,7 @@ def _load_pair_str(xml):
     return mj_model, model
 
 
+@pytest.mark.slow
 def test_rangefinder_parity():
     """All three rangefinders (hit floor / hit objects / miss) across poses."""
     mj_model, model = _load_pair_str(RAY_RIG)

@@ -25,6 +25,7 @@ PENDULUM = """
 """
 
 
+@pytest.mark.slow
 def test_gradient_descent_decreases_cost():
     from ambersim_tpu.engine.setconst import set_constants
 

@@ -365,10 +365,19 @@ def _newton_dispatch(
         if jax.devices()[0].platform == "tpu" and J.ndim == 3:
             import os
 
+            from ambersim_tpu.ops.newton_pallas import dense_fits_vmem, structured_fits_vmem
+
             # escape hatch / A-B knob: AMBERSIM_NEWTON_DENSE=1 forces the
             # dense-layout kernel (read at trace time)
             dense_only = os.environ.get("AMBERSIM_NEWTON_DENSE") == "1"
             st = _pyramid_structure(skel) if (skel is not None and not dense_only) else None
+            n = J.shape[2]
+            # VMEM ladder: structured -> dense -> jnp. Big models (the
+            # humanoid: nv=25, nefc=169) overflow the structured kernel's
+            # scoped-vmem at the minimum tile; the dense kernel's smaller
+            # working set still fits. Beyond that, the per-env jnp path.
+            if st is not None and not structured_fits_vmem(st, n):
+                st = None
             if st is not None:
                 from ambersim_tpu.ops.newton_pallas import newton_solve_structured
 
@@ -377,10 +386,14 @@ def _newton_dispatch(
                     st=st, bJ=bJ, dsc=dsc, iterations=iterations,
                     ls_iterations=ls_iterations, use_ws=use_ws,
                 )
-            else:
+            elif dense_fits_vmem(J.shape[1], n):
                 from ambersim_tpu.ops.newton_pallas import newton_solve_batched
 
                 out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **statics)
+            else:
+                out = jax.vmap(primal, in_axes=(0,) * 10 + (None,))(
+                    J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol
+                )
         else:
             out = jax.vmap(primal, in_axes=(0,) * 10 + (None,))(
                 J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol

@@ -55,6 +55,36 @@ from ambersim_tpu.ops.linalg_pallas import _chol_columns, _solve_from_l
 
 TILE = 128
 
+# Guard below Mosaic's 16 MiB scoped-vmem ceiling (physical VMEM ~16 MB/core).
+_VMEM_BUDGET = 15.5 * 2**20
+
+
+def structured_fits_vmem(st, n: int) -> bool:
+    """Whether the structured kernel's minimum tile (128) fits scoped VMEM.
+
+    Mirrors the tile-selection estimate in newton_solve_structured (3.5x
+    Mosaic calibration). Models that fail this (e.g. the humanoid: nv=25,
+    nefc=169 -> 18 MiB measured at tile 128) must fall back to the dense
+    kernel or the jnp path — Mosaic refuses the launch outright.
+    """
+    ndp, ngp, ncp = st.nd, st.ndiag, st.ncon3
+    nefc_k = ndp + ngp + 4 * ncp
+    nb = 3 * ncp
+    n_pad = -(-n // 8) * 8
+    per_env = 4 * (2 * (nb + ndp) * n_pad + 3 * n * n + 10 * nefc_k + 12 * n + 2 * ngp)
+    return 3.5 * per_env * TILE < _VMEM_BUDGET
+
+
+def dense_fits_vmem(nefc: int, n: int) -> bool:
+    """Whether the dense kernel's minimum tile (128) fits scoped VMEM.
+
+    Calibration: measured scoped vmem is ~1.8x this working-set estimate
+    (quadruped nefc=136/nv=18 at tile 256: 16.0 MiB measured vs 9.1 MiB
+    estimated)."""
+    n_pad = -(-n // 8) * 8
+    per_env = 4 * (2 * nefc * n_pad + 3 * n * n + 10 * nefc + 12 * n)
+    return 1.8 * per_env * TILE < _VMEM_BUDGET
+
 
 def _row_masks(nefc: int, ne: int, nf: int, dtype):
     """Float row-type masks (Mosaic rejects bool-valued selects: i1 vectors)."""

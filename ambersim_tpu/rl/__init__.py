@@ -30,9 +30,15 @@ def _register_packaged() -> None:
 
         return QuadrupedTerrainEnv(**kwargs)
 
+    def _humanoid_balance(**kwargs):
+        from ambersim_tpu.rl.humanoid import HumanoidBalanceEnv
+
+        return HumanoidBalanceEnv(**kwargs)
+
     register_environment("pendulum_swingup", _pendulum)
     register_environment("quadruped_locomotion", _quadruped)
     register_environment("quadruped_terrain", _quadruped_terrain)
+    register_environment("humanoid_balance", _humanoid_balance)
 
 
 _register_packaged()

@@ -22,14 +22,8 @@ except Exception:  # older jax: fall back to XLA flag (must precede backend init
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compilation cache: the suite is compile-bound on CPU (single
-# core in CI), and most wall time is re-tracing identical programs across
-# runs. Cache compiled executables on disk so repeat runs (local iteration,
-# CI re-runs) skip XLA compilation entirely.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-except Exception:
-    pass  # older jax without the persistent-cache config: compile as usual
+# NOTE: do NOT enable jax's persistent compilation cache here
+# (jax_compilation_cache_dir): on this jax version (0.9.0) writing certain
+# CPU executables to the cache segfaults the interpreter mid-suite
+# (compilation_cache.put_executable_and_time, observed on
+# test_models_parity rollouts). Warm-run speed is not worth a flaky suite.

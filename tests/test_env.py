@@ -138,3 +138,29 @@ def test_quadruped_terrain_env():
     stB = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(1), 64))
     stB = jax.jit(jax.vmap(env.step))(stB, jnp.zeros((64, env.action_size)))
     assert stB.obs.shape == (64, env.observation_size)
+
+
+@pytest.mark.slow
+def test_humanoid_balance_env():
+    """Balance env: registered, standing survives 60 zero-action control
+    steps (the PD mapping routes actuators through the skeleton's
+    transmission tables — actuator order != qpos order on this model), falls
+    terminate, and the env batches."""
+    from ambersim_tpu.rl import get_environment
+
+    env = get_environment("humanoid_balance")
+    st = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert st.obs.shape == (env.observation_size,)
+    stp = jax.jit(env.step)
+    for _ in range(60):
+        st = stp(st, jnp.zeros(env.action_size))
+    assert float(st.done) == 0.0  # PD hold keeps it upright
+    assert 0.6 < float(st.pipeline_state.qpos[2]) < 0.9
+    # knock it over: large constant action saturates into a fall
+    st2 = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    for _ in range(120):
+        st2 = stp(st2, jnp.ones(env.action_size))
+    assert float(st2.done) == 1.0 or float(st2.pipeline_state.qpos[2]) < 0.6
+    stB = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(2), 32))
+    stB = jax.jit(jax.vmap(env.step))(stB, jnp.zeros((32, env.action_size)))
+    assert stB.obs.shape == (32, env.observation_size)

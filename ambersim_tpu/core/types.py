@@ -402,6 +402,16 @@ class Model:
     eq_solref: jax.Array  # (neq, 2)
     eq_solimp: jax.Array  # (neq, 5)
 
+    # keyframes (<keyframe><key .../>; cf. mjModel.key_*). Names live on
+    # skel.key_names; make_data(m, keyframe=...) resets into one.
+    key_time: jax.Array  # (nkey,)
+    key_qpos: jax.Array  # (nkey, nq)
+    key_qvel: jax.Array  # (nkey, nv)
+    key_act: jax.Array  # (nkey, na)
+    key_ctrl: jax.Array  # (nkey, nu)
+    key_mpos: jax.Array  # (nkey, nmocap, 3)
+    key_mquat: jax.Array  # (nkey, nmocap, 4)
+
     # explicit <contact><pair> overrides (indexed via skel.pair_explicit)
     pair_friction: jax.Array  # (npairexp, 5)
     pair_solref: jax.Array  # (npairexp, 2)

@@ -18,12 +18,21 @@ def _pyr_sizes(s) -> tuple[int, int]:
     return (st.ncon3, st.ndiag) if st is not None else (0, 0)
 
 
-def make_data(m: Model, dtype=jnp.float32) -> Data:
-    """Allocate a fresh single-env Data at qpos0, zero velocity."""
+def make_data(m: Model, dtype=jnp.float32, keyframe=None) -> Data:
+    """Allocate a fresh single-env Data at qpos0, zero velocity.
+
+    keyframe: optional <keyframe><key> to reset into instead — name (str) or
+    index (int); sets qpos/qvel/act/ctrl/time/mocap from the model's key_*
+    fields (the mj_resetDataKeyframe role)."""
     s = m.skel
     z = lambda *shape: jnp.zeros(shape, dtype)  # noqa: E731
     ncon3, ndiag = _pyr_sizes(s)
     mocap_ids = np.asarray(s.mocap_bodyid, np.int32)
+    if isinstance(keyframe, str):
+        names = list(getattr(s, "key_names", ()))
+        if keyframe not in names:
+            raise KeyError(f"no keyframe named '{keyframe}' (have {names})")
+        keyframe = names.index(keyframe)
     contact = Contact(
         dist=jnp.full((s.ncon,), 1e10, dtype),
         pos=z(s.ncon, 3),
@@ -35,17 +44,22 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         geom1=jnp.asarray(s.con_geom1[: s.ncon], jnp.int32),
         geom2=jnp.asarray(s.con_geom2[: s.ncon], jnp.int32),
     )
+    k = keyframe
     return Data(
-        time=jnp.zeros((), dtype),
-        qpos=jnp.asarray(m.qpos0, dtype),
-        qvel=z(s.nv),
-        act=z(s.na),
-        ctrl=z(s.nu),
+        time=jnp.zeros((), dtype) if k is None else jnp.asarray(m.key_time[k], dtype),
+        qpos=jnp.asarray(m.qpos0 if k is None else m.key_qpos[k], dtype),
+        qvel=z(s.nv) if k is None else jnp.asarray(m.key_qvel[k], dtype),
+        act=z(s.na) if k is None else jnp.asarray(m.key_act[k], dtype),
+        ctrl=z(s.nu) if k is None else jnp.asarray(m.key_ctrl[k], dtype),
         qfrc_applied=z(s.nv),
         xfrc_applied=z(s.nbody, 6),
         qacc_warmstart=z(s.nv),
-        mocap_pos=jnp.asarray(m.body_pos, dtype)[mocap_ids],
-        mocap_quat=jnp.asarray(m.body_quat, dtype)[mocap_ids],
+        mocap_pos=(
+            jnp.asarray(m.body_pos, dtype)[mocap_ids] if k is None else jnp.asarray(m.key_mpos[k], dtype)
+        ),
+        mocap_quat=(
+            jnp.asarray(m.body_quat, dtype)[mocap_ids] if k is None else jnp.asarray(m.key_mquat[k], dtype)
+        ),
         xpos=z(s.nbody, 3),
         xquat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (s.nbody, 1)),
         xipos=z(s.nbody, 3),

@@ -87,6 +87,10 @@ def spec_to_xml(spec: ModelSpec) -> str:
             ET.SubElement(con, "pair", dict(p.attrib))
         for x in spec.excludes:
             ET.SubElement(con, "exclude", dict(x.attrib))
+    if spec.keyframes:
+        kfs = ET.SubElement(root, "keyframe")
+        for kf in spec.keyframes:
+            ET.SubElement(kfs, "key", dict(kf))
     if spec.custom:
         cus = ET.SubElement(root, "custom")
         for name, data in spec.custom.items():

@@ -85,6 +85,7 @@ class ModelSpec:
     excludes: List[ElemSpec] = dataclasses.field(default_factory=list)
     meshes: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
     hfields: Dict[str, Dict[str, str]] = dataclasses.field(default_factory=dict)
+    keyframes: List[Dict[str, str]] = dataclasses.field(default_factory=list)
     custom: Dict[str, "np.ndarray"] = dataclasses.field(default_factory=dict)
     base_dir: str = "."
 
@@ -268,6 +269,10 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                     elif sub.tag == "pulley":
                         ten.wraps.append(("pulley", "", float(sub.attrib["divisor"])))
                 spec.tendons.append(ten)
+        elif sec.tag == "keyframe":
+            for child in sec:
+                if child.tag == "key":
+                    spec.keyframes.append(dict(child.attrib))
         elif sec.tag == "contact":
             for child in sec:
                 if child.tag == "pair":

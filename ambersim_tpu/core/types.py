@@ -534,6 +534,9 @@ class Data:
     qacc_smooth: jax.Array  # (nv,)
     qfrc_constraint: jax.Array  # (nv,)
     qacc: jax.Array  # (nv,)
+    # inverse dynamics output (engine.inverse; mjData.qfrc_inverse role):
+    # the applied generalized force that would produce this d.qacc
+    qfrc_inverse: jax.Array  # (nv,)
 
     # constraints
     contact: Contact

@@ -93,6 +93,7 @@ def make_data(m: Model, dtype=jnp.float32, keyframe=None) -> Data:
         qacc_smooth=z(s.nv),
         qfrc_constraint=z(s.nv),
         qacc=z(s.nv),
+        qfrc_inverse=z(s.nv),
         contact=contact,
         efc_J=z(s.nefc, s.nv),
         efc_bJ=z(3 * ncon3, s.nv),

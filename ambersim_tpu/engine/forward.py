@@ -32,7 +32,11 @@ def forward(m: Model, d: Data) -> Data:
     with jax.named_scope("fwd_acceleration"):
         d = smooth.fwd_acceleration(m, d)
     if m.opt.disableflags & DisableBit.CONSTRAINT or m.skel.nefc == 0:
-        d = d.replace(qacc=d.qacc_smooth)
+        # zero any stale constraint force: the integrators consume
+        # qfrc_smooth + qfrc_constraint as the total applied force
+        import jax.numpy as jnp
+
+        d = d.replace(qacc=d.qacc_smooth, qfrc_constraint=jnp.zeros_like(d.qfrc_constraint))
     else:
         with jax.named_scope("newton_solve"):
             d = solver.solve(m, d)

@@ -125,7 +125,10 @@ def implicitfast(m: Model, d: Data) -> Data:
     # A is symmetric for this D (diag + moment^T diag moment) and positive
     # definite for physical damping/velocity gains; tiny ridge for safety.
     A = A + 1e-10 * jnp.eye(s.nv, dtype=A.dtype)
-    rhs = h * (d.qM @ d.qacc)
+    # total applied force, MuJoCo's own RHS (engine mj_implicitSkip):
+    # qfrc_smooth + qfrc_constraint == qM @ qacc up to the solver's gradient
+    # residual, and avoids a batched matvec with trailing tiny dims
+    rhs = h * (d.qfrc_smooth + d.qfrc_constraint)
     dv = linalg.solve_pd(A, rhs)
     qvel = d.qvel + dv
     qpos = integrate_pos(m, d.qpos, qvel, h)
@@ -142,7 +145,9 @@ def euler(m: Model, d: Data) -> Data:
         from ambersim_tpu.engine import linalg
 
         mh = d.qM + h * jnp.diag(m.dof_damping)
-        rhs = h * (d.qM @ d.qacc)
+        # MuJoCo's mj_Euler RHS: total force, not qM @ qacc (identical up to
+        # the solver's gradient residual, one fewer batched matvec)
+        rhs = h * (d.qfrc_smooth + d.qfrc_constraint)
         dv = linalg.solve_pd(mh, rhs)
         qvel = d.qvel + dv
     else:

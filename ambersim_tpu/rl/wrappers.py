@@ -119,9 +119,51 @@ class VmapWrapper(Wrapper):
         return jax.vmap(self.env.step)(state, action)
 
 
-def wrap_for_training(env: MjxEnv, episode_length: int, action_repeat: int = 1) -> MjxEnv:
-    """Standard training stack: episode -> vmap -> autoreset (brax order)."""
+class DomainRandomizationVmapWrapper(Wrapper):
+    """Batch the env over a leading axis where EACH ENV HAS ITS OWN MODEL
+    (domain randomization; role of brax's DomainRandomizationVmapWrapper used
+    via the reference trainer's `randomization_fn` hook).
+
+    `randomization_fn(model) -> (model_v, in_axes)`: `model_v` is the base
+    Model with ONLY the randomized leaves replaced by batched arrays with a
+    new leading env axis (`model.replace(field=batched)`; other leaves stay
+    unbatched), and `in_axes` is a Model pytree with 0 on randomized leaves
+    and None elsewhere (`jax.tree.map(lambda _: None, model).replace(field=0)`).
+    Numeric Model fields are traced pytree leaves (core/types.py design
+    note), so the batch shares ONE compilation across all randomized models.
+    """
+
+    def __init__(self, env: MjxEnv, randomization_fn):
+        super().__init__(env)
+        self.model_v, self.in_axes = randomization_fn(self.env.model)
+
+    def _with_model(self, model):
+        # rebind at trace time: the tracer-leaf model flows through reset/step
+        self.env.unwrapped.model = model
+        return self.env
+
+    def reset(self, rng: jax.Array) -> State:
+        def reset_fn(model, rng):
+            return self._with_model(model).reset(rng)
+
+        return jax.vmap(reset_fn, in_axes=[self.in_axes, 0])(self.model_v, rng)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        def step_fn(model, s, a):
+            return self._with_model(model).step(s, a)
+
+        return jax.vmap(step_fn, in_axes=[self.in_axes, 0, 0])(self.model_v, state, action)
+
+
+def wrap_for_training(
+    env: MjxEnv, episode_length: int, action_repeat: int = 1, randomization_fn=None
+) -> MjxEnv:
+    """Standard training stack: episode -> vmap -> autoreset (brax order).
+    With `randomization_fn`, the vmap stage carries per-env randomized models."""
     env = EpisodeWrapper(env, episode_length, action_repeat)
-    env = VmapWrapper(env)
+    if randomization_fn is None:
+        env = VmapWrapper(env)
+    else:
+        env = DomainRandomizationVmapWrapper(env, randomization_fn)
     env = AutoResetWrapper(env)
     return env

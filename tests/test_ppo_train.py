@@ -85,3 +85,51 @@ def test_ppo_checkpoint_resume(tmp_path):
     # resume: should start from the saved env_steps and keep training
     make_policy, params, metrics = train(**common, restore_checkpoint_path=ckpt)
     assert np.isfinite(metrics["eval/episode_reward"])
+
+
+def test_domain_randomization_wrapper():
+    """Per-env randomized models: one compilation, distinct dynamics per env
+    (brax DomainRandomizationVmapWrapper semantics)."""
+    from ambersim_tpu.rl.wrappers import wrap_for_training
+
+    env = PendulumSwingupEnv()
+    B = 4
+    base = env.model
+
+    def randomization_fn(model, rng=jax.random.split(jax.random.PRNGKey(3), B)):
+        scale = 1.0 + 0.8 * jax.vmap(jax.random.uniform)(rng)  # mass in [1x, 1.8x]
+        # batch ONLY the randomized leaf; everything else stays unbatched
+        model_v = model.replace(body_mass=jnp.asarray(model.body_mass) * scale[:, None])
+        in_axes = jax.tree.map(lambda _: None, model).replace(body_mass=0)
+        return model_v, in_axes
+
+    wrapped = wrap_for_training(env, episode_length=10, randomization_fn=randomization_fn)
+    keys = jnp.stack([jax.random.PRNGKey(7)] * B)  # identical init state per env
+    state = jax.jit(wrapped.reset)(keys)
+    act = jnp.ones((B, env.action_size))
+    stp = jax.jit(wrapped.step)
+    for _ in range(5):
+        state = stp(state, act)
+    qvel = np.asarray(state.pipeline_state.qvel[:, 0])
+    # same init + same action but different masses -> distinct trajectories
+    assert len(np.unique(qvel)) == B, qvel
+
+
+@pytest.mark.slow
+def test_ppo_train_with_randomization_fn():
+    """Trainer-level randomization_fn hook (brax ppo.train parity)."""
+    env = PendulumSwingupEnv()
+
+    def randomization_fn(model, rng):
+        scale = 1.0 + 0.5 * jax.vmap(jax.random.uniform)(rng)
+        model_v = model.replace(body_mass=jnp.asarray(model.body_mass) * scale[:, None])
+        in_axes = jax.tree.map(lambda _: None, model).replace(body_mass=0)
+        return model_v, in_axes
+
+    make_policy, params, metrics = train(
+        environment=env, num_timesteps=512, num_evals=1, episode_length=16,
+        unroll_length=4, num_minibatches=2, num_updates_per_batch=1,
+        num_envs=8, num_eval_envs=4, batch_size=8, seed=1,
+        normalize_observations=True, randomization_fn=randomization_fn,
+    )
+    assert np.isfinite(metrics["eval/episode_reward"])

@@ -18,14 +18,45 @@ import jax
 import jax.numpy as jnp
 
 
+# Pallas kernel VMEM gate: windows are (n, n, 128) fp32, double-buffered for
+# input and output, plus register spill scratch that grows ~n^2. Measured:
+# n=192 at tile 128 needs 138M of the 128M VMEM (36M in + 36M out + 66M
+# spills); n<=128 leaves >2x margin.
+_PALLAS_MAX_N = 128
+# Unrolled straight-line factor/solve is serial-latency-optimal for the
+# simulation regime (nv ~ 10-40) but its op count — and XLA compile time —
+# grows with n (a 192-dof scene takes ~4 min to compile the unrolled factor
+# on CPU). Beyond this, XLA's native blocked cholesky/triangular_solve
+# (O(1) compile, MXU-friendly matmul blocks) wins on every axis.
+_UNROLL_MAX_N = 64
+
+
 def _use_pallas(a: jax.Array) -> bool:
     # a is the batched operand inside a custom_vmap rule: (B, n, n)
-    return jax.devices()[0].platform == "tpu" and a.ndim == 3
+    return (
+        jax.devices()[0].platform == "tpu"
+        and a.ndim == 3
+        and a.shape[-1] <= _PALLAS_MAX_N
+    )
+
+
+def _cholesky_native(a: jax.Array) -> jax.Array:
+    return jnp.linalg.cholesky(a)
+
+
+def _cho_solve_native(l: jax.Array, b: jax.Array) -> jax.Array:
+    y = jax.lax.linalg.triangular_solve(l, b[..., None], left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(
+        l, y, left_side=True, lower=True, transpose_a=True
+    )
+    return x[..., 0]
 
 
 def cholesky_unrolled(a: jax.Array) -> jax.Array:
     """Lower Cholesky of (..., n, n) SPD matrices, unrolled over n."""
     n = a.shape[-1]
+    if n > _UNROLL_MAX_N:
+        return _cholesky_native(a)
     dtype = a.dtype
     l = jnp.zeros_like(a)
     for j in range(n):
@@ -62,6 +93,8 @@ def solve_upper_t(l: jax.Array, y: jax.Array) -> jax.Array:
 
 def cho_solve_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
     """Solve A x = b given the lower Cholesky factor of A."""
+    if l.shape[-1] > _UNROLL_MAX_N:
+        return _cho_solve_native(l, b)
     return solve_upper_t(l, solve_lower(l, b))
 
 

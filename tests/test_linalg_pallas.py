@@ -52,3 +52,26 @@ def test_solve_from_l_matches_numpy():
     b_np = np.moveaxis(np.asarray(b), -1, 0)
     ref = np.stack([np.linalg.solve(a_np[i], b_np[i]) for i in range(B)])
     np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_large_n_routes_to_native_blocked_path():
+    """n > 64 dofs (e.g. 32 free bodies: nv=192) must route to XLA's native
+    blocked cholesky/triangular_solve: the unrolled straight-line form takes
+    minutes to compile at that size, and the Pallas kernel's (n, n, 128)
+    VMEM windows overflow at n=192 (regression: clutter32 ladder rung)."""
+    from ambersim_tpu.engine import linalg
+
+    n, batch = 192, 4
+    key = jax.random.PRNGKey(5)
+    g = jax.random.normal(key, (batch, n, n))
+    a = g @ jnp.swapaxes(g, -1, -2) + n * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(6), (batch, n))
+
+    l = jax.jit(jax.vmap(linalg.cholesky))(a)
+    np.testing.assert_allclose(np.asarray(l), np.linalg.cholesky(np.asarray(a)), rtol=2e-4, atol=2e-4)
+    x = jax.jit(jax.vmap(linalg.solve_pd))(a, b)
+    ref = np.stack([np.linalg.solve(np.asarray(a)[i], np.asarray(b)[i]) for i in range(batch)])
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-4)
+    # unbatched call (the set_constants path) takes the same native route
+    x1 = jax.jit(linalg.solve_pd)(a[0], b[0])
+    np.testing.assert_allclose(np.asarray(x1), ref[0], rtol=2e-4, atol=2e-4)

@@ -111,7 +111,7 @@ def test_pallas_newton_quadruped_nv18():
 # ---------------- structured-layout kernel (factored pyramid rows) ----------
 
 
-def _run_structured_parity(m):
+def _run_structured_parity(m, both_operand_variants=True):
     from ambersim_tpu.engine.solver import _pyramid_structure
     from ambersim_tpu.ops.newton_pallas import newton_solve_structured
 
@@ -181,7 +181,14 @@ def _run_structured_parity(m):
     iters = int(max(m.opt.iterations, 1))
     ls = int(max(m.opt.ls_iterations, 1))
     tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
-    for bJ_arg, dsc_arg in ((None, None), (batch.efc_bJ, batch.efc_dsc)):
+    # production passes the assembly-emitted operands (solver.py); the
+    # rows-only variant (bJ=None) re-derives them inside the kernel — each
+    # interpret-mode compile costs ~20 s on CPU, so fast tests may run just
+    # the production variant and leave bJ=None to the slow quadruped test
+    variants = [(batch.efc_bJ, batch.efc_dsc)]
+    if both_operand_variants:
+        variants.insert(0, (None, None))
+    for bJ_arg, dsc_arg in variants:
         qacc, force, qfrc = newton_solve_structured(
             batch.efc_J,
             batch.qM,
@@ -230,4 +237,4 @@ def test_structured_newton_mixed_rows():
 
     st = _pyramid_structure(m.skel)
     assert st is not None and st.nd > 0 and st.ndiag > 0 and st.ncon3 > 0
-    _run_structured_parity(m)
+    _run_structured_parity(m, both_operand_variants=False)

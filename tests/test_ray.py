@@ -16,11 +16,25 @@ import pytest
 
 import jax
 
-from ambersim_tpu.engine import forward, make_data
+from ambersim_tpu.engine import forward, make_data, smooth
 from ambersim_tpu.engine.ray import ray
 from ambersim_tpu.engine.setconst import set_constants
 from ambersim_tpu.mjcf import compile_spec
 from ambersim_tpu.mjcf.parser import parse_mjcf, parse_mjcf_string
+
+
+def _pos_only(model, d):
+    """Geom/site poses only: ray queries don't need dynamics, and compiling
+    the full forward (collision+constraints+solver) dominates test time."""
+    return smooth.kinematics(model, d)
+
+
+def _pos_and_sensors(model, d):
+    """Kinematics + the sensor pass: enough for rangefinder sensordata
+    without compiling collision/constraints/solver."""
+    from ambersim_tpu.engine import sensor
+
+    return sensor.sensors(model, smooth.kinematics(model, d))
 
 RAY_RIG = """
 <mujoco>
@@ -104,7 +118,7 @@ def test_ray_all_geom_types():
     mj_model, model = _load_pair_str(RAY_RIG)
     mj_data = mujoco.MjData(mj_model)
     mujoco.mj_forward(mj_model, mj_data)
-    d = jax.jit(forward)(model, make_data(model))
+    d = jax.jit(_pos_only)(model, make_data(model))
     rng = np.random.default_rng(7)
     ray_j = jax.jit(lambda p, v: ray(model, d, p, v))
     hits = 0
@@ -138,7 +152,7 @@ def test_ray_mesh_hull():
         model = set_constants(compile_spec(parse_mjcf(xml_path)))
     mj_data = mujoco.MjData(mj_model)
     mujoco.mj_forward(mj_model, mj_data)
-    d = jax.jit(forward)(model, make_data(model))
+    d = jax.jit(_pos_only)(model, make_data(model))
     rng = np.random.default_rng(8)
     hits = 0
     for _ in range(30):
@@ -186,7 +200,7 @@ def test_rangefinder_over_terrain():
     model = set_constants(compile_spec(parse_mjcf_string(HFIELD_RAY_RIG)))
     model = model.replace(hfield_data=data.reshape(1, 9, 9))
     mj_data = mujoco.MjData(mj_model)
-    fwd = jax.jit(forward)
+    fwd = jax.jit(_pos_and_sensors)
     rng = np.random.default_rng(11)
     for _ in range(6):
         qpos = mj_model.qpos0.copy()

@@ -6,6 +6,7 @@ Public API mirrors the call surface the reference uses from MJX
 and operate on a single env; batch by ``jax.vmap`` with ``in_axes=(None, 0)``.
 """
 
+from ambersim_tpu.engine import support  # noqa: F401
 from ambersim_tpu.engine.forward import forward, step  # noqa: F401
 from ambersim_tpu.engine.init import make_data  # noqa: F401
 from ambersim_tpu.engine.inverse import inverse  # noqa: F401

@@ -53,6 +53,8 @@ def step(m: Model, d: Data) -> Data:
     d = forward(m, d)
     if m.opt.integrator == int(IntegratorType.RK4):
         return integrate.rk4(m, d, forward)
-    if m.opt.integrator in (int(IntegratorType.IMPLICIT), int(IntegratorType.IMPLICITFAST)):
+    if m.opt.integrator == int(IntegratorType.IMPLICIT):
+        return integrate.implicit(m, d)
+    if m.opt.integrator == int(IntegratorType.IMPLICITFAST):
         return integrate.implicitfast(m, d)
     return integrate.euler(m, d)

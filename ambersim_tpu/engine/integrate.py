@@ -109,11 +109,43 @@ def _qderiv_vel(m: Model, d: Data) -> jax.Array:
     return D
 
 
+def _qderiv_vel_ad(m: Model, d: Data, include_bias: bool):
+    """Velocity derivative of the qvel-dependent smooth forces that have no
+    cheap analytic form — fluid drag (whenever present) and the RNE bias
+    force (full 'implicit' integrator only) — via forward-mode autodiff
+    through com_vel. jacfwd pushes nv tangent columns through one vectorized
+    evaluation (a batched RNEA), the TPU-idiomatic replacement for MuJoCo's
+    hand-written mjd_rne_vel/mjd_passive_vel derivatives. Returns None when
+    neither term applies (the common case), keeping the fast path free.
+    """
+    from ambersim_tpu.engine import smooth
+
+    s = m.skel
+    has_fluid = bool(getattr(s, "has_fluid", False)) and not (
+        m.opt.disableflags & DisableBit.PASSIVE
+    )
+    if not (include_bias or has_fluid):
+        return None
+
+    def frc(v):
+        dd = d.replace(qvel=v)
+        dd = smooth.com_vel(m, dd)
+        out = jnp.zeros(s.nv, d.qpos.dtype)
+        if has_fluid:
+            out = out + smooth._fluid_force(m, dd)
+        if include_bias:
+            out = out - smooth.rne(m, dd).qfrc_bias
+        return out
+
+    return jax.jacfwd(frc)(d.qvel)
+
+
 def implicitfast(m: Model, d: Data) -> Data:
     """Implicit-in-velocity step (mjINT_IMPLICITFAST semantics): solve
-    (M - h*D) dv = h * M * qacc with D the analytic velocity derivative of the
-    smooth forces (damping + actuator velocity terms; Coriolis omitted — the
-    'fast' variant). Falls back to plain Euler velocity update when D is zero.
+    (M - h*D) dv = h * (qfrc_smooth + qfrc_constraint) with D the velocity
+    derivative of the smooth forces (damping + actuator velocity terms +
+    symmetrized fluid drag; Coriolis omitted — the 'fast' variant). D is
+    symmetrized as in MuJoCo so the solve stays Cholesky.
     """
     from ambersim_tpu.engine import linalg
 
@@ -121,6 +153,11 @@ def implicitfast(m: Model, d: Data) -> Data:
     h = m.opt.timestep
     d = _advance_act(m, d, h)
     D = _qderiv_vel(m, d)
+    Dad = _qderiv_vel_ad(m, d, include_bias=False)
+    if Dad is not None:
+        # fluid-drag derivative is asymmetric; implicitfast symmetrizes it
+        # (MuJoCo mj_implicitSkip) to keep the factorization Cholesky
+        D = D + 0.5 * (Dad + Dad.T)
     A = d.qM - h * D
     # A is symmetric for this D (diag + moment^T diag moment) and positive
     # definite for physical damping/velocity gains; tiny ridge for safety.
@@ -130,6 +167,22 @@ def implicitfast(m: Model, d: Data) -> Data:
     # residual, and avoids a batched matvec with trailing tiny dims
     rhs = h * (d.qfrc_smooth + d.qfrc_constraint)
     dv = linalg.solve_pd(A, rhs)
+    qvel = d.qvel + dv
+    qpos = integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
+def implicit(m: Model, d: Data) -> Data:
+    """Full implicit-in-velocity step (mjINT_IMPLICIT semantics): like
+    implicitfast but D additionally includes the exact Coriolis/centrifugal
+    derivative d(-qfrc_bias)/dqvel, making (M - h*D) asymmetric — solved with
+    a batched LU, mirroring MuJoCo's mj_implicit LU factorization."""
+    h = m.opt.timestep
+    d = _advance_act(m, d, h)
+    D = _qderiv_vel(m, d) + _qderiv_vel_ad(m, d, include_bias=True)
+    A = d.qM - h * D
+    rhs = h * (d.qfrc_smooth + d.qfrc_constraint)
+    dv = jnp.linalg.solve(A, rhs)
     qvel = d.qvel + dv
     qpos = integrate_pos(m, d.qpos, qvel, h)
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)

@@ -126,6 +126,16 @@ class BiasType(enum.IntEnum):
     MUSCLE = 2
 
 
+class CamLightMode(enum.IntEnum):
+    """Camera/light tracking modes (MuJoCo-compatible mjtCamLight values)."""
+
+    FIXED = 0
+    TRACK = 1
+    TRACKCOM = 2
+    TARGETBODY = 3
+    TARGETBODYCOM = 4
+
+
 class SensorType(enum.IntEnum):
     """Sensor types (MuJoCo-compatible mjtSensor values, mujoco 3.10)."""
 
@@ -278,12 +288,14 @@ class Option:
     viscosity: jax.Array
     impratio: jax.Array
     tolerance: jax.Array
+    noslip_tolerance: jax.Array
     # static (affect trace structure / loop counts)
     integrator: int = struct.field(pytree_node=False, default=int(IntegratorType.EULER))
     solver: int = struct.field(pytree_node=False, default=int(SolverType.NEWTON))
     cone: int = struct.field(pytree_node=False, default=int(ConeType.PYRAMIDAL))
     iterations: int = struct.field(pytree_node=False, default=100)
     ls_iterations: int = struct.field(pytree_node=False, default=50)
+    noslip_iterations: int = struct.field(pytree_node=False, default=0)
     disableflags: int = struct.field(pytree_node=False, default=0)
 
 
@@ -306,6 +318,7 @@ class Contact:
     solref: jax.Array  # (ncon, 2)
     solimp: jax.Array  # (ncon, 5)
     includemargin: jax.Array  # (ncon,)
+    gap: jax.Array  # (ncon,) — margin = includemargin + gap (adhesion reach)
     geom1: jax.Array  # (ncon,) int32
     geom2: jax.Array  # (ncon,) int32
 
@@ -335,6 +348,7 @@ class Model:
     jnt_pos: jax.Array  # (njnt, 3)
     jnt_axis: jax.Array  # (njnt, 3)
     jnt_range: jax.Array  # (njnt, 2)
+    jnt_actfrcrange: jax.Array  # (njnt, 2) qfrc_actuator clamp (jnt_actfrclimited on skel)
     jnt_stiffness: jax.Array  # (njnt,)
     jnt_solref: jax.Array  # (njnt, 2)
     jnt_solimp: jax.Array  # (njnt, 5)
@@ -352,6 +366,21 @@ class Model:
     site_pos: jax.Array  # (nsite, 3)
     site_quat: jax.Array  # (nsite, 4)
     site_size: jax.Array  # (nsite, 3)
+
+    # cameras / lights (mj_camlight kinematics; modes/bodyids on skel).
+    # *_0 fields are global offsets at qpos0 (mj_setConst), used by the
+    # track/trackcom modes at runtime.
+    cam_pos: jax.Array  # (ncam, 3) local offset in body frame
+    cam_quat: jax.Array  # (ncam, 4)
+    cam_fovy: jax.Array  # (ncam,) vertical field of view (render metadata)
+    cam_pos0: jax.Array  # (ncam, 3) global offset from body xpos at qpos0
+    cam_poscom0: jax.Array  # (ncam, 3) global offset from subtree com at qpos0
+    cam_mat0: jax.Array  # (ncam, 3, 3) global orientation at qpos0
+    light_pos: jax.Array  # (nlight, 3)
+    light_dir: jax.Array  # (nlight, 3) unit direction in body frame
+    light_pos0: jax.Array  # (nlight, 3)
+    light_poscom0: jax.Array  # (nlight, 3)
+    light_dir0: jax.Array  # (nlight, 3)
 
     # sensors
     sensor_cutoff: jax.Array  # (nsensor,)
@@ -504,6 +533,10 @@ class Data:
     geom_xmat: jax.Array  # (ngeom, 3, 3)
     site_xpos: jax.Array  # (nsite, 3)
     site_xmat: jax.Array  # (nsite, 3, 3)
+    cam_xpos: jax.Array  # (ncam, 3)
+    cam_xmat: jax.Array  # (ncam, 3, 3)
+    light_xpos: jax.Array  # (nlight, 3)
+    light_xdir: jax.Array  # (nlight, 3)
     ten_length: jax.Array  # (ntendon,)
     ten_velocity: jax.Array  # (ntendon,)
     ten_J: jax.Array  # (ntendon, nv) d(length)/d(qvel); constant rows for fixed

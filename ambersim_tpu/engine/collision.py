@@ -637,6 +637,7 @@ def collision(m: Model, d: Data) -> Data:
     solref_all = jnp.zeros((ncand, 2), dtype)
     solimp_all = jnp.zeros((ncand, 5), dtype)
     margin_all = jnp.zeros((ncand,), dtype)
+    gap_all = jnp.zeros((ncand,), dtype)
     geom1_all = jnp.asarray(s.con_geom1, jnp.int32)
     geom2_all = jnp.asarray(s.con_geom2, jnp.int32)
 
@@ -744,6 +745,7 @@ def collision(m: Model, d: Data) -> Data:
         solref_all = solref_all.at[slots].set(jnp.repeat(solref, ncon_per, axis=0))
         solimp_all = solimp_all.at[slots].set(jnp.repeat(solimp, ncon_per, axis=0))
         margin_all = margin_all.at[slots].set(jnp.repeat(includemargin, ncon_per, axis=0))
+        gap_all = gap_all.at[slots].set(jnp.repeat(gap, ncon_per, axis=0))
 
     if s.ncon < ncand:
         # global contact cap (<custom numeric max_contact_points>): keep the
@@ -758,6 +760,7 @@ def collision(m: Model, d: Data) -> Data:
         solref_all = solref_all[sel]
         solimp_all = solimp_all[sel]
         margin_all = margin_all[sel]
+        gap_all = gap_all[sel]
         geom1_all = geom1_all[sel]
         geom2_all = geom2_all[sel]
 
@@ -769,6 +772,7 @@ def collision(m: Model, d: Data) -> Data:
         solref=solref_all,
         solimp=solimp_all,
         includemargin=margin_all,
+        gap=gap_all,
         geom1=geom1_all,
         geom2=geom2_all,
     )

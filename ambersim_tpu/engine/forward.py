@@ -40,6 +40,11 @@ def forward(m: Model, d: Data) -> Data:
     else:
         with jax.named_scope("newton_solve"):
             d = solver.solve(m, d)
+        if m.opt.noslip_iterations > 0:
+            from ambersim_tpu.engine import noslip
+
+            with jax.named_scope("noslip"):
+                d = noslip.noslip(m, d)
     if m.skel.nsensor and not (m.opt.disableflags & DisableBit.SENSOR):
         from ambersim_tpu.engine import sensor
 

@@ -41,6 +41,7 @@ def make_data(m: Model, dtype=jnp.float32, keyframe=None) -> Data:
         solref=z(s.ncon, 2),
         solimp=z(s.ncon, 5),
         includemargin=z(s.ncon),
+        gap=z(s.ncon),
         geom1=jnp.asarray(s.con_geom1[: s.ncon], jnp.int32),
         geom2=jnp.asarray(s.con_geom2[: s.ncon], jnp.int32),
     )
@@ -70,6 +71,10 @@ def make_data(m: Model, dtype=jnp.float32, keyframe=None) -> Data:
         geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.ngeom, 1, 1)),
         site_xpos=z(s.nsite, 3),
         site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.nsite, 1, 1)),
+        cam_xpos=z(s.ncam, 3),
+        cam_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (s.ncam, 1, 1)),
+        light_xpos=z(s.nlight, 3),
+        light_xdir=z(s.nlight, 3),
         ten_length=z(s.ntendon),
         ten_velocity=z(s.ntendon),
         ten_J=z(s.ntendon, s.nv),

@@ -210,6 +210,62 @@ def com_pos(m: Model, d: Data) -> Data:
     return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
+def camlight(m: Model, d: Data) -> Data:
+    """Camera/light kinematics (mj_camlight parity, verified vs the oracle in
+    tests/test_camlight.py). Modes: FIXED rides the body frame; TRACK keeps a
+    constant world offset from the body (orientation frozen at qpos0);
+    TRACKCOM the same relative to the body's subtree com; TARGETBODY(COM)
+    rides the body but re-aims so camera -z looks at the target body
+    (z = normalize(campos - target), x = normalize(z_world x z), y = z x x)
+    / the light direction points at the target."""
+    from ambersim_tpu.core.types import CamLightMode as CM
+
+    s = m.skel
+    dtype = d.qpos.dtype
+    cam_xpos, cam_xmat = d.cam_xpos, d.cam_xmat
+    for i in range(s.ncam):
+        b, mode, tgt = int(s.cam_bodyid[i]), int(s.cam_mode[i]), int(s.cam_targetbodyid[i])
+        R = am.quat_to_mat(d.xquat[b])
+        if mode == int(CM.TRACK):
+            pos = d.xpos[b] + jnp.asarray(m.cam_pos0[i], dtype)
+            mat = jnp.asarray(m.cam_mat0[i], dtype)
+        elif mode == int(CM.TRACKCOM):
+            pos = d.subtree_com[b] + jnp.asarray(m.cam_poscom0[i], dtype)
+            mat = jnp.asarray(m.cam_mat0[i], dtype)
+        else:  # FIXED / TARGETBODY / TARGETBODYCOM: ride the body frame
+            pos = d.xpos[b] + R @ m.cam_pos[i]
+            mat = R @ am.quat_to_mat(m.cam_quat[i])
+            if mode in (int(CM.TARGETBODY), int(CM.TARGETBODYCOM)):
+                target = d.subtree_com[tgt] if mode == int(CM.TARGETBODYCOM) else d.xpos[tgt]
+                z = pos - target
+                z = z / jnp.maximum(jnp.linalg.norm(z), 1e-15)
+                x = jnp.cross(jnp.array([0.0, 0, 1], dtype), z)
+                x = x / jnp.maximum(jnp.linalg.norm(x), 1e-15)
+                mat = jnp.stack([x, jnp.cross(z, x), z], axis=1)
+        cam_xpos = cam_xpos.at[i].set(pos)
+        cam_xmat = cam_xmat.at[i].set(mat)
+    light_xpos, light_xdir = d.light_xpos, d.light_xdir
+    for i in range(s.nlight):
+        b, mode, tgt = int(s.light_bodyid[i]), int(s.light_mode[i]), int(s.light_targetbodyid[i])
+        R = am.quat_to_mat(d.xquat[b])
+        if mode == int(CM.TRACK):
+            pos = d.xpos[b] + jnp.asarray(m.light_pos0[i], dtype)
+            xdir = jnp.asarray(m.light_dir0[i], dtype)
+        elif mode == int(CM.TRACKCOM):
+            pos = d.subtree_com[b] + jnp.asarray(m.light_poscom0[i], dtype)
+            xdir = jnp.asarray(m.light_dir0[i], dtype)
+        else:
+            pos = d.xpos[b] + R @ m.light_pos[i]
+            xdir = R @ m.light_dir[i]
+            if mode in (int(CM.TARGETBODY), int(CM.TARGETBODYCOM)):
+                target = d.subtree_com[tgt] if mode == int(CM.TARGETBODYCOM) else d.xpos[tgt]
+                xdir = target - pos
+            xdir = xdir / jnp.maximum(jnp.linalg.norm(xdir), 1e-15)
+        light_xpos = light_xpos.at[i].set(pos)
+        light_xdir = light_xdir.at[i].set(xdir)
+    return d.replace(cam_xpos=cam_xpos, cam_xmat=cam_xmat, light_xpos=light_xpos, light_xdir=light_xdir)
+
+
 def com_vel(m: Model, d: Data) -> Data:
     """Body spatial velocities and cdof time-derivatives (mirrors mj_comVel).
 
@@ -441,14 +497,27 @@ def _joint_trn_arrays(s):
         other_u = []
         tendon_u, tendon_id = [], []
         site_u, site_id = [], []
+        refsite_u, refsite_id, refsite_ref = [], [], []
+        body_u, body_id = [], []
+        refids = getattr(s, "actuator_refid", None)
         for u in range(s.nu):
             if int(s.actuator_trntype[u]) == int(TrnType.TENDON):
                 tendon_u.append(u)
                 tendon_id.append(int(s.actuator_trnid[u]))
                 continue
+            if int(s.actuator_trntype[u]) == int(TrnType.BODY):
+                body_u.append(u)
+                body_id.append(int(s.actuator_trnid[u]))
+                continue
             if int(s.actuator_trntype[u]) == int(TrnType.SITE):
-                site_u.append(u)
-                site_id.append(int(s.actuator_trnid[u]))
+                rid = int(refids[u]) if refids is not None else -1
+                if rid >= 0:
+                    refsite_u.append(u)
+                    refsite_id.append(int(s.actuator_trnid[u]))
+                    refsite_ref.append(rid)
+                else:
+                    site_u.append(u)
+                    site_id.append(int(s.actuator_trnid[u]))
                 continue
             j = int(s.actuator_trnid[u])
             jtype = JointType(int(s.jnt_type[j]))
@@ -467,6 +536,8 @@ def _joint_trn_arrays(s):
             np.asarray(tendon_id, dtype=np.int32),
             np.asarray(site_u, dtype=np.int32),
             np.asarray(site_id, dtype=np.int32),
+            tuple(zip(refsite_u, refsite_id, refsite_ref)),
+            tuple(zip(body_u, body_id)),
         )
     return _MOMENT_CACHE[key]
 
@@ -475,7 +546,9 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
     """(nu, nv) transmission moment matrix (joint/tendon/site transmissions)."""
     s = m.skel
     moment = jnp.zeros((s.nu, s.nv), d.qpos.dtype)
-    scalar_u, scalar_dof, _, other_u, tendon_u, tendon_id, site_u, site_id = _joint_trn_arrays(s)
+    scalar_u, scalar_dof, _, other_u, tendon_u, tendon_id, site_u, site_id, refsites, bodies = (
+        _joint_trn_arrays(s)
+    )
     if len(scalar_u):
         moment = moment.at[scalar_u, scalar_dof].set(m.actuator_gear[scalar_u, 0])
     for u in other_u:  # free/ball transmissions (rare): gear vector on the joint dofs
@@ -500,7 +573,76 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
         sup = jnp.asarray(_body_dof_support(s)[b], moment.dtype)
         jacr = d.cdof[:, :3] * sup[:, None]
         moment = moment.at[u].set(jacp @ fdir + jacr @ tdir)
+    for u, sid, rid in refsites:
+        # refsite transmission (mj_transmission SITE+refsite): Cartesian
+        # pose-difference actuator. moment = gear-projected difference of the
+        # two site Jacobians, rotated into the refsite frame.
+        bs, br = int(s.site_bodyid[sid]), int(s.site_bodyid[rid])
+        Rref = d.site_xmat[rid]  # world <- refsite
+        jacp_s = _site_point_jac(m, d, d.site_xpos[sid], bs)  # (nv, 3)
+        jacp_r = _site_point_jac(m, d, d.site_xpos[rid], br)
+        sup_s = jnp.asarray(_body_dof_support(s)[bs], moment.dtype)
+        sup_r = jnp.asarray(_body_dof_support(s)[br], moment.dtype)
+        jacr_s = d.cdof[:, :3] * sup_s[:, None]
+        jacr_r = d.cdof[:, :3] * sup_r[:, None]
+        # rows are world 3-vectors; row @ Rref = Rref^T v (world -> refsite)
+        jacdifp = (jacp_s - jacp_r) @ Rref
+        jacdifr = (jacr_s - jacr_r) @ Rref
+        g = m.actuator_gear[u].astype(moment.dtype)
+        moment = moment.at[u].set(jacdifp @ g[:3] + jacdifr @ g[3:])
+    if bodies:
+        # adhesion (BODY) transmission: moment = -mean of the contact-normal
+        # Jacobian rows over contacts involving the body, counting contacts
+        # within margin = includemargin + gap (MuJoCo includes gap-excluded
+        # contacts so adhesion can act at a distance).
+        from ambersim_tpu.engine import constraint as _con
+
+        c = d.contact
+        gsup_np = _con._geom_support(s)  # (ngeom, nv)
+        static_slots = len(s.bpg_adr) == 0 and s.ncon == s.ncand
+        if static_slots:
+            signed_sup = jnp.asarray(
+                gsup_np[s.con_geom2] - gsup_np[s.con_geom1], moment.dtype
+            )
+            gb1 = s.geom_bodyid[s.con_geom1]  # numpy, static
+            gb2 = s.geom_bodyid[s.con_geom2]
+        else:
+            gsup = jnp.asarray(gsup_np, moment.dtype)
+            signed_sup = gsup[c.geom2] - gsup[c.geom1]
+            gbody = jnp.asarray(s.geom_bodyid)
+            gb1, gb2 = gbody[c.geom1], gbody[c.geom2]
+        jn = _con._frame_rows(c.frame, _con._point_jac_rows(m, d, c.pos, signed_sup))[0]
+        within = c.dist < (c.includemargin + c.gap)
+        for u, b in bodies:
+            bmask = (gb1 == b) | (gb2 == b)
+            mask = within & (jnp.asarray(bmask) if static_slots else bmask)
+            cnt = jnp.sum(mask.astype(moment.dtype))
+            row = -jnp.where(mask[:, None], jn, 0.0).sum(axis=0) / jnp.maximum(cnt, 1.0)
+            moment = moment.at[u].set(row)
     return moment
+
+
+def refsite_length(m: Model, d: Data, length: jax.Array) -> jax.Array:
+    """Transmission lengths of refsite actuators: gear-projected 6D pose
+    difference of site relative to refsite, expressed in the refsite frame
+    (translation in meters, rotation as the expmap 3-vector)."""
+    s = m.skel
+    refsites = _joint_trn_arrays(s)[8]
+    for u, sid, rid in refsites:
+        bs, br = int(s.site_bodyid[sid]), int(s.site_bodyid[rid])
+        Rref = d.site_xmat[rid]
+        vec = Rref.T @ (d.site_xpos[sid] - d.site_xpos[rid])
+        # MuJoCo composes the site/refsite quats for this length as
+        # site_quat_local * body_xquat (local quat on the LEFT) — verified
+        # numerically against mj_forward on randomized models; using the
+        # world site rotation (body * local) disagrees whenever the site has
+        # a local orientation offset.
+        qs = am.mul_quat(m.site_quat[sid], d.xquat[bs])
+        qr = am.mul_quat(m.site_quat[rid], d.xquat[br])
+        rot = am.quat_sub(qs, qr)
+        g = m.actuator_gear[u].astype(length.dtype)
+        length = length.at[u].set(g[:3] @ vec + g[3:] @ rot)
+    return length
 
 
 def clamped_ctrl(m: Model, d: Data) -> jax.Array:
@@ -608,12 +750,14 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
     ctrl = clamped_ctrl(m, d)
 
-    scalar_u, scalar_dof, scalar_qa, _, tendon_u, tendon_id, _, _ = _joint_trn_arrays(s)
+    scalar_u, scalar_dof, scalar_qa, _, tendon_u, tendon_id, _, _, refsites, _ = _joint_trn_arrays(s)
     length = jnp.zeros(s.nu, dtype)
     if len(scalar_u):
         length = length.at[scalar_u].set(d.qpos[scalar_qa] * m.actuator_gear[scalar_u, 0])
     if len(tendon_u):
         length = length.at[tendon_u].set(d.ten_length[tendon_id] * m.actuator_gear[tendon_u, 0])
+    if refsites:
+        length = refsite_length(m, d, length)
     moment = actuator_moment(m, d)
     velocity = moment @ d.qvel
 
@@ -660,6 +804,15 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         limited_f, jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]), force
     )
     qfrc = moment.T @ force
+    if np.asarray(s.jnt_actfrclimited).any():
+        # joint-level actuatorfrcrange: clamp total actuator force per dof
+        # (mj_fwdActuation's qfrc_actuator clamp)
+        dof_jnt = np.asarray(s.dof_jntid)
+        lim = np.asarray(s.jnt_actfrclimited)[dof_jnt]  # (nv,) static
+        # index the (possibly numpy) model leaf with the static numpy map —
+        # numpy_leaf[jnp_index] breaks under trace (tracer __array__)
+        rng = jnp.asarray(m.jnt_actfrcrange)[dof_jnt]
+        qfrc = jnp.where(jnp.asarray(lim), jnp.clip(qfrc, rng[:, 0], rng[:, 1]), qfrc)
     if m.opt.disableflags & DisableBit.ACTUATION:
         force = jnp.zeros_like(force)
         qfrc = jnp.zeros_like(qfrc)
@@ -936,6 +1089,8 @@ def tendon(m: Model, d: Data) -> Data:
 def fwd_position_smooth(m: Model, d: Data) -> Data:
     d = kinematics(m, d)
     d = com_pos(m, d)
+    if m.skel.ncam or m.skel.nlight:
+        d = camlight(m, d)
     d = tendon(m, d)
     d = crb(m, d)
     d = factor_m(m, d)

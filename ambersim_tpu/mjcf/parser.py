@@ -35,6 +35,8 @@ _DEFAULT_KINDS = (
     "mesh",
     "pair",
     "tendon",
+    "camera",
+    "light",
 )
 
 
@@ -56,6 +58,8 @@ class BodySpec:
     joints: List[ElemSpec] = dataclasses.field(default_factory=list)
     geoms: List[ElemSpec] = dataclasses.field(default_factory=list)
     sites: List[ElemSpec] = dataclasses.field(default_factory=list)
+    cameras: List[ElemSpec] = dataclasses.field(default_factory=list)
+    lights: List[ElemSpec] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -173,9 +177,86 @@ def _parse_body(
             body.geoms.append(ElemSpec("geom", defaults.resolve("geom", child.attrib, child.get("class", cls))))
         elif tag == "site":
             body.sites.append(ElemSpec("site", defaults.resolve("site", child.attrib, child.get("class", cls))))
+        elif tag == "camera":
+            body.cameras.append(
+                ElemSpec("camera", defaults.resolve("camera", child.attrib, child.get("class", cls)))
+            )
+        elif tag == "light":
+            body.lights.append(ElemSpec("light", defaults.resolve("light", child.attrib, child.get("class", cls))))
         elif tag == "body":
             _parse_body(child, my_index, body.childclass, defaults, spec)
-        # cameras/lights are render-only: parsed over, no physics effect
+        elif tag == "frame":
+            _parse_frame(child, body, my_index, cls, defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
+
+
+def _fmt_vec(v: np.ndarray) -> str:
+    return " ".join(repr(float(x)) for x in np.asarray(v).ravel())
+
+
+def _compose_pose_attrib(attrib: Dict[str, str], fpos, fquat, fR, deg: bool, eulerseq: str) -> None:
+    """Fold a frame transform (fpos, fquat) into an element's pose attributes
+    in place: pos' = fpos + fR·pos, quat' = fquat ∘ quat. fromto endpoints are
+    transformed directly (the compiler derives pos/quat from fromto)."""
+    if "fromto" in attrib:
+        ft = parse_vec(attrib["fromto"], 6)
+        attrib["fromto"] = _fmt_vec(np.concatenate([fpos + fR @ ft[:3], fpos + fR @ ft[3:]]))
+        return
+    pos = parse_vec(attrib.get("pos"), 3)
+    q = orientation_to_quat(attrib, deg, eulerseq)
+    for k in ("euler", "axisangle", "zaxis", "xyaxes"):
+        attrib.pop(k, None)
+    attrib["pos"] = _fmt_vec(fpos + fR @ pos)
+    attrib["quat"] = _fmt_vec(_np_mul_quat(fquat, q))
+
+
+def _parse_frame(
+    elem: ET.Element,
+    owner: "BodySpec",
+    owner_index: int,
+    childclass: str,
+    defaults: "_Defaults",
+    spec: ModelSpec,
+    ppos: np.ndarray,
+    pquat: np.ndarray,
+) -> None:
+    """<frame>: a pure coordinate transform folded into its children at parse
+    time (MuJoCo compiler semantics — frames never appear in the compiled
+    model). Supports nesting and body/geom/site/joint/inertial children."""
+    deg, eulerseq = spec.degrees(), spec.compiler.get("eulerseq", "xyz")
+    fpos = ppos + _np_quat_to_mat(pquat) @ parse_vec(elem.get("pos"), 3)
+    fquat = _np_mul_quat(pquat, orientation_to_quat(elem.attrib, deg, eulerseq))
+    fR = _np_quat_to_mat(fquat)
+    cls = elem.get("childclass", childclass)
+    for child in elem:
+        tag = child.tag
+        if tag == "body":
+            _compose_pose_attrib(child.attrib, fpos, fquat, fR, deg, eulerseq)
+            _parse_body(child, owner_index, cls, defaults, spec)
+        elif tag == "frame":
+            _parse_frame(child, owner, owner_index, cls, defaults, spec, fpos, fquat)
+        elif tag in ("geom", "site", "camera", "light"):
+            attrib = defaults.resolve(tag, child.attrib, child.get("class", cls))
+            if tag == "light":
+                attrib["pos"] = _fmt_vec(fpos + fR @ parse_vec(attrib.get("pos"), 3))
+                attrib["dir"] = _fmt_vec(fR @ parse_vec(attrib.get("dir"), 3, np.array([0.0, 0, -1])))
+            else:
+                _compose_pose_attrib(attrib, fpos, fquat, fR, deg, eulerseq)
+            lists = {"geom": owner.geoms, "site": owner.sites, "camera": owner.cameras, "light": owner.lights}
+            lists[tag].append(ElemSpec(tag, attrib))
+        elif tag in ("joint", "freejoint"):
+            if tag == "freejoint":
+                attrib = {"type": "free"}
+                if "name" in child.attrib:
+                    attrib["name"] = child.attrib["name"]
+            else:
+                attrib = defaults.resolve("joint", child.attrib, child.get("class", cls))
+                attrib["pos"] = _fmt_vec(fpos + fR @ parse_vec(attrib.get("pos"), 3))
+                attrib["axis"] = _fmt_vec(fR @ parse_vec(attrib.get("axis"), 3, np.array([0.0, 0, 1])))
+            owner.joints.append(ElemSpec("joint", attrib))
+        elif tag == "inertial":
+            # MuJoCo's XML parser attaches <inertial> to the enclosing body
+            # ignoring the frame transform (verified vs 3.10.0) — match that.
+            owner.inertial = dict(child.attrib)
 
 
 def parse_mjcf_string(xml: str, base_dir: str = ".") -> ModelSpec:
@@ -241,6 +322,16 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                     world.sites.append(
                         ElemSpec("site", defaults.resolve("site", child.attrib, child.get("class", "main")))
                     )
+                elif child.tag == "camera":
+                    world.cameras.append(
+                        ElemSpec("camera", defaults.resolve("camera", child.attrib, child.get("class", "main")))
+                    )
+                elif child.tag == "light":
+                    world.lights.append(
+                        ElemSpec("light", defaults.resolve("light", child.attrib, child.get("class", "main")))
+                    )
+                elif child.tag == "frame":
+                    _parse_frame(child, world, 0, "main", defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
 
     for sec in root:
         if sec.tag == "actuator":

@@ -27,3 +27,23 @@ except Exception:  # older jax: fall back to XLA flag (must precede backend init
 # CPU executables to the cache segfaults the interpreter mid-suite
 # (compilation_cache.put_executable_and_time, observed on
 # test_models_parity rollouts). Warm-run speed is not worth a flaky suite.
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables():
+    """Free compiled executables between test modules.
+
+    The same jax 0.9.0 XLA:CPU fragility that rules out the persistent cache
+    above also segfaults `backend_compile_and_load` when a single process
+    accumulates the whole suite's worth of live executables (reproducible at
+    ~the 122nd test; each half of the suite passes in isolation). Dropping
+    jit caches per module keeps the live-executable count bounded. Costs a
+    few re-compiles for cross-module shared programs; the alternative is a
+    flaky suite."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -175,6 +175,9 @@ class SensorType(enum.IntEnum):
     SUBTREECOM = 35
     SUBTREELINVEL = 36
     SUBTREEANGMOM = 37
+    GEOMDIST = 39
+    GEOMNORMAL = 40
+    GEOMFROMTO = 41
     E_POTENTIAL = 43
     E_KINETIC = 44
     CLOCK = 45

@@ -570,6 +570,58 @@ _NARROWPHASE = {
 SUPPORTED_PAIRS = set(_NARROWPHASE)
 
 
+def geom_pair_distance(m: Model, d: Data, g1: int, g2: int):
+    """Signed surface distance + closest points for ONE static geom pair.
+
+    Returns (dist, p1, p2): p1 on geom1's surface, p2 on geom2's. Backs the
+    <distance>/<normal>/<fromto> sensors (the mj_geomDistance role; parity in
+    tests/test_distance_sensors.py). Exact for the analytic primitive pairs;
+    box-box and mesh pairs reuse the SAT narrowphase, whose separation is a
+    lower bound when the closest features are not face-aligned."""
+    s = m.skel
+    t1, t2 = int(s.geom_type[g1]), int(s.geom_type[g2])
+    swap = t1 > t2
+    if swap:
+        g1, g2, t1, t2 = g2, g1, t2, t1
+    fn = _NARROWPHASE.get((t1, t2), (None, 0))[0]
+    if fn is None:
+        raise NotImplementedError(
+            f"distance sensor between geom types {GeomType(t1).name} and "
+            f"{GeomType(t2).name} is not supported"
+        )
+    gsize = jnp.asarray(m.geom_size)
+    args = (
+        d.geom_xpos[g1], d.geom_xmat[g1], gsize[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2], gsize[g2],
+    )
+
+    def mesh_tuple(g):
+        mid = int(s.geom_meshid[g])
+        vert_mask = np.arange(m.mesh_vert.shape[1]) < int(s.mesh_vertnum[mid])
+        return (
+            jnp.asarray(m.mesh_vert)[mid],
+            jnp.asarray(vert_mask),
+            jnp.asarray(m.mesh_face_normal)[mid],
+            jnp.asarray(m.mesh_face_dist)[mid],
+            jnp.asarray(m.mesh_face_vert)[mid],
+            jnp.asarray(m.mesh_edge)[mid],
+        )
+
+    if t1 == int(GeomType.MESH):
+        args = args + (mesh_tuple(g1),)
+    if t2 == int(GeomType.MESH):
+        args = args + (mesh_tuple(g2),)
+    dist, pos, frame = fn(*args)
+    i = jnp.argmin(dist)
+    di = dist[i]
+    n = frame[i, 0]  # contact normal, points from geom1 toward geom2
+    half = n * (di * 0.5)
+    p1, p2 = pos[i] - half, pos[i] + half
+    if swap:
+        p1, p2 = p2, p1
+    return di, p1, p2
+
+
 def _mix_params(m: Model, g1, g2):
     """Contact parameter mixing (mirrors mj_contactParam): priority wins,
     otherwise solmix-weighted solref/solimp, max friction, max margin/gap.

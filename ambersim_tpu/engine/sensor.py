@@ -51,7 +51,15 @@ _POS = {
     SensorType.SUBTREECOM,
     SensorType.E_POTENTIAL,
     SensorType.CLOCK,
+    SensorType.GEOMDIST,
+    SensorType.GEOMNORMAL,
+    SensorType.GEOMFROMTO,
 }
+
+# geom-distance trio: cutoff is the search range (handled inside evaluation),
+# not an output clamp (oracle-pinned: a unit normal is NOT clipped to a 0.5
+# cutoff)
+_GEOMPAIR = {SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO}
 _VEL = {
     SensorType.VELOCIMETER,
     SensorType.GYRO,
@@ -311,15 +319,19 @@ def sensors(m: Model, d: Data) -> Data:
             cfrc_int=cfrc_int,
             subtree_linvel=subtree_linvel,
             subtree_angmom=subtree_angmom,
+            cutoff=m.sensor_cutoff[i],
         )
         val = jnp.ravel(jnp.asarray(val, dtype))
         cutoff = m.sensor_cutoff[i]
         positive = stype == SensorType.TOUCH
-        clipped = jnp.where(
-            cutoff > 0,
-            jnp.clip(val, 0.0 if positive else -cutoff, cutoff),
-            val,
-        )
+        if stype in _GEOMPAIR:  # cutoff already applied as the search range
+            clipped = val
+        else:
+            clipped = jnp.where(
+                cutoff > 0,
+                jnp.clip(val, 0.0 if positive else -cutoff, cutoff),
+                val,
+            )
         out = out.at[adr : adr + dim].set(clipped)
     return d.replace(sensordata=out)
 
@@ -360,6 +372,48 @@ def _subtree_momentum(m: Model, d: Data):
     return sub_linvel, angmom
 
 
+def _geompair_sensor(m: Model, d: Data, stype: SensorType, objtype: int, objid: int, refid: int, cutoff):
+    """<distance>/<normal>/<fromto>: min surface distance between two geoms
+    (or over all geom pairs of two bodies, for body1/body2 attachment) with
+    `cutoff` as the search range — beyond it the trio reads (cutoff, 0, 0).
+    Oracle semantics pinned in tests/test_distance_sensors.py."""
+    from ambersim_tpu.engine.collision import geom_pair_distance
+
+    s = m.skel
+    dtype = d.qpos.dtype
+    if objtype == int(ObjType.GEOM):
+        pairs = [(objid, refid)]
+    else:  # BODY: all cross pairs of the two bodies' geoms
+        ga = range(int(s.body_geomadr[objid]), int(s.body_geomadr[objid]) + int(s.body_geomnum[objid]))
+        gb = range(int(s.body_geomadr[refid]), int(s.body_geomadr[refid]) + int(s.body_geomnum[refid]))
+        pairs = [(a, b) for a in ga for b in gb]
+    if not pairs:
+        dim = {SensorType.GEOMDIST: 1, SensorType.GEOMNORMAL: 3, SensorType.GEOMFROMTO: 6}[stype]
+        return jnp.zeros((dim,), dtype)
+    best = None
+    for g1, g2 in pairs:
+        di, p1, p2 = geom_pair_distance(m, d, g1, g2)
+        if best is None:
+            best = (di, p1, p2)
+        else:
+            closer = di < best[0]
+            best = (
+                jnp.where(closer, di, best[0]),
+                jnp.where(closer, p1, best[1]),
+                jnp.where(closer, p2, best[2]),
+            )
+    di, p1, p2 = best
+    cutoff = jnp.asarray(cutoff, dtype)
+    within = di < cutoff
+    if stype == SensorType.GEOMDIST:
+        return jnp.minimum(di, cutoff)
+    if stype == SensorType.GEOMNORMAL:
+        n = p2 - p1
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-15)
+        return jnp.where(within, n, jnp.zeros(3, dtype))
+    return jnp.where(within, jnp.concatenate([p1, p2]), jnp.zeros(6, dtype))
+
+
 def _eval_sensor(
     m: Model,
     d: Data,
@@ -373,10 +427,13 @@ def _eval_sensor(
     cfrc_int,
     subtree_linvel,
     subtree_angmom,
+    cutoff=None,
 ):
     s = m.skel
     has_ref = refid >= 0
 
+    if stype in _GEOMPAIR:
+        return _geompair_sensor(m, d, stype, objtype, objid, refid, cutoff)
     if stype == SensorType.CLOCK:
         return d.time
     if stype == SensorType.JOINTPOS:

@@ -427,6 +427,7 @@ class Model:
     actuator_dynprm: jax.Array  # (nu, 9)
     actuator_actrange: jax.Array  # (nu, 2) activation clamp (intvelocity/muscle)
     actuator_lengthrange: jax.Array  # (nu, 2) transmission length range (muscle)
+    actuator_cranklength: jax.Array  # (nu,) crank rod length (slidercrank)
     actuator_acc0: jax.Array  # (nu,) |M^-1 moment| at qpos0 (muscle force scaling)
 
     # equality constraints

@@ -499,6 +499,8 @@ def _joint_trn_arrays(s):
         site_u, site_id = [], []
         refsite_u, refsite_id, refsite_ref = [], [], []
         body_u, body_id = [], []
+        inparent_u = []
+        crank_u, crank_slider, crank_site = [], [], []
         refids = getattr(s, "actuator_refid", None)
         for u in range(s.nu):
             if int(s.actuator_trntype[u]) == int(TrnType.TENDON):
@@ -508,6 +510,11 @@ def _joint_trn_arrays(s):
             if int(s.actuator_trntype[u]) == int(TrnType.BODY):
                 body_u.append(u)
                 body_id.append(int(s.actuator_trnid[u]))
+                continue
+            if int(s.actuator_trntype[u]) == int(TrnType.SLIDERCRANK):
+                crank_u.append(u)
+                crank_slider.append(int(s.actuator_trnid[u]))
+                crank_site.append(int(refids[u]))
                 continue
             if int(s.actuator_trntype[u]) == int(TrnType.SITE):
                 rid = int(refids[u]) if refids is not None else -1
@@ -522,9 +529,12 @@ def _joint_trn_arrays(s):
             j = int(s.actuator_trnid[u])
             jtype = JointType(int(s.jnt_type[j]))
             if jtype in (JointType.HINGE, JointType.SLIDE):
+                # JOINT and JOINTINPARENT coincide for scalar joints
                 scalar_u.append(u)
                 scalar_dof.append(int(s.jnt_dofadr[j]))
                 scalar_qa.append(int(s.jnt_qposadr[j]))
+            elif int(s.actuator_trntype[u]) == int(TrnType.JOINTINPARENT):
+                inparent_u.append(u)
             else:
                 other_u.append(u)
         _MOMENT_CACHE[key] = (
@@ -538,6 +548,8 @@ def _joint_trn_arrays(s):
             np.asarray(site_id, dtype=np.int32),
             tuple(zip(refsite_u, refsite_id, refsite_ref)),
             tuple(zip(body_u, body_id)),
+            tuple(inparent_u),
+            tuple(zip(crank_u, crank_slider, crank_site)),
         )
     return _MOMENT_CACHE[key]
 
@@ -546,9 +558,20 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
     """(nu, nv) transmission moment matrix (joint/tendon/site transmissions)."""
     s = m.skel
     moment = jnp.zeros((s.nu, s.nv), d.qpos.dtype)
-    scalar_u, scalar_dof, _, other_u, tendon_u, tendon_id, site_u, site_id, refsites, bodies = (
-        _joint_trn_arrays(s)
-    )
+    (
+        scalar_u,
+        scalar_dof,
+        _,
+        other_u,
+        tendon_u,
+        tendon_id,
+        site_u,
+        site_id,
+        refsites,
+        bodies,
+        inparent,
+        cranks,
+    ) = _joint_trn_arrays(s)
     if len(scalar_u):
         moment = moment.at[scalar_u, scalar_dof].set(m.actuator_gear[scalar_u, 0])
     for u in other_u:  # free/ball transmissions (rare): gear vector on the joint dofs
@@ -573,6 +596,24 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
         sup = jnp.asarray(_body_dof_support(s)[b], moment.dtype)
         jacr = d.cdof[:, :3] * sup[:, None]
         moment = moment.at[u].set(jacp @ fdir + jacr @ tdir)
+    for u in inparent:
+        # JOINTINPARENT on ball/free rotations: gear given in the PARENT
+        # frame, rotated into the joint (child) frame the dofs live in
+        # (oracle-pinned: moment = R(q)^T @ gear)
+        j = int(s.actuator_trnid[u])
+        jtype = JointType(int(s.jnt_type[j]))
+        da, qa = int(s.jnt_dofadr[j]), int(s.jnt_qposadr[j])
+        g = m.actuator_gear[u].astype(moment.dtype)
+        if jtype == JointType.BALL:
+            R = am.quat_to_mat(am.normalize_quat(d.qpos[qa : qa + 4]))
+            moment = moment.at[u, da : da + 3].set(R.T @ g[:3])
+        else:  # FREE: translation already world-aligned; rotation dofs are child-frame
+            R = am.quat_to_mat(am.normalize_quat(d.qpos[qa + 3 : qa + 7]))
+            moment = moment.at[u, da : da + 3].set(g[:3])
+            moment = moment.at[u, da + 3 : da + 6].set(R.T @ g[3:])
+    for u, sid, cid in cranks:
+        _, dlen = _slidercrank(m, d, u, sid, cid)
+        moment = moment.at[u].set(m.actuator_gear[u, 0] * dlen)
     for u, sid, rid in refsites:
         # refsite transmission (mj_transmission SITE+refsite): Cartesian
         # pose-difference actuator. moment = gear-projected difference of the
@@ -620,6 +661,46 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
             row = -jnp.where(mask[:, None], jn, 0.0).sum(axis=0) / jnp.maximum(cnt, 1.0)
             moment = moment.at[u].set(row)
     return moment
+
+
+def _quat2vel(q: jax.Array) -> jax.Array:
+    """mju_quat2Vel(q, dt=1): expmap 3-vector of a quaternion, without the
+    shortest-arc sign flip (ball-joint transmission lengths use the raw
+    qpos quat)."""
+    s2 = jnp.sum(q[1:] * q[1:])
+    good = s2 > 1e-24
+    sin_half = jnp.sqrt(jnp.where(good, s2, 1.0))
+    angle = 2.0 * jnp.arctan2(sin_half, q[0])
+    return jnp.where(good, q[1:] / sin_half * angle, 2.0 * q[1:])
+
+
+def _slidercrank(m: Model, d: Data, u: int, sid: int, cid: int):
+    """Slider-crank transmission (mj_transmission SLIDERCRANK): a rod of
+    length r connects the crank site to a piston sliding along the slider
+    site's z axis. length = a.v - sqrt((a.v)^2 - v.v + r^2) with v the
+    slider->crank vector; when the discriminant goes non-positive the rod is
+    'broken' and the sqrt term (and its gradient) drops out (oracle-pinned).
+    Returns (length, d(length)/d(qvel)) WITHOUT the gear scaling."""
+    s = m.skel
+    dtype = d.qpos.dtype
+    bs, bc = int(s.site_bodyid[sid]), int(s.site_bodyid[cid])
+    a = d.site_xmat[sid][:, 2]
+    v = d.site_xpos[cid] - d.site_xpos[sid]
+    jac_c = _site_point_jac(m, d, d.site_xpos[cid], bc)  # (nv, 3)
+    jac_s = _site_point_jac(m, d, d.site_xpos[sid], bs)
+    sup_s = jnp.asarray(_body_dof_support(s)[bs], dtype)
+    jacr_s = d.cdof[:, :3] * sup_s[:, None]
+    dv = jac_c - jac_s  # (nv, 3)
+    da = jnp.cross(jacr_s, a[None, :])  # (nv, 3): d(a)/dqvel_k = w_k x a
+    av = a @ v
+    dav = dv @ a + da @ v  # (nv,)
+    r = m.actuator_cranklength[u]
+    sdet = av * av - v @ v + r * r
+    ok = sdet > 1e-12
+    sq = jnp.sqrt(jnp.where(ok, sdet, 1.0))
+    length = av - jnp.where(ok, sq, 0.0)
+    dlen = dav - jnp.where(ok, (av * dav - dv @ v) / sq, 0.0)
+    return length, dlen
 
 
 def refsite_length(m: Model, d: Data, length: jax.Array) -> jax.Array:
@@ -750,14 +831,40 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
     ctrl = clamped_ctrl(m, d)
 
-    scalar_u, scalar_dof, scalar_qa, _, tendon_u, tendon_id, _, _, refsites, _ = _joint_trn_arrays(s)
+    (
+        scalar_u,
+        scalar_dof,
+        scalar_qa,
+        other_u,
+        tendon_u,
+        tendon_id,
+        _,
+        _,
+        refsites,
+        _,
+        inparent,
+        cranks,
+    ) = _joint_trn_arrays(s)
     length = jnp.zeros(s.nu, dtype)
     if len(scalar_u):
         length = length.at[scalar_u].set(d.qpos[scalar_qa] * m.actuator_gear[scalar_u, 0])
     if len(tendon_u):
         length = length.at[tendon_u].set(d.ten_length[tendon_id] * m.actuator_gear[tendon_u, 0])
+    for u in list(other_u) + list(inparent):
+        # ball-joint transmission length = gear . expmap(joint quat); the
+        # rotation vector is frame-invariant under the joint's own rotation,
+        # so JOINT and JOINTINPARENT lengths coincide (free joints read 0)
+        j = int(s.actuator_trnid[u])
+        if JointType(int(s.jnt_type[j])) != JointType.BALL:
+            continue
+        qa = int(s.jnt_qposadr[j])
+        g = m.actuator_gear[u].astype(dtype)
+        length = length.at[u].set(g[:3] @ _quat2vel(am.normalize_quat(d.qpos[qa : qa + 4])))
     if refsites:
         length = refsite_length(m, d, length)
+    for u, sid, cid in cranks:
+        sc_len, _ = _slidercrank(m, d, u, sid, cid)
+        length = length.at[u].set(m.actuator_gear[u, 0] * sc_len)
     moment = actuator_moment(m, d)
     velocity = moment @ d.qvel
 

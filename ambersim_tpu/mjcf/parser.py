@@ -187,6 +187,10 @@ def _parse_body(
             _parse_body(child, my_index, body.childclass, defaults, spec)
         elif tag == "frame":
             _parse_frame(child, body, my_index, cls, defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
+        elif tag == "replicate":
+            _parse_replicate(child, body, my_index, cls, defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
+        elif tag == "composite":
+            _parse_composite(child, my_index, cls, defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
 
 
 def _fmt_vec(v: np.ndarray) -> str:
@@ -257,6 +261,179 @@ def _parse_frame(
             # MuJoCo's XML parser attaches <inertial> to the enclosing body
             # ignoring the frame transform (verified vs 3.10.0) — match that.
             owner.inertial = dict(child.attrib)
+        elif tag == "replicate":
+            _parse_replicate(child, owner, owner_index, cls, defaults, spec, fpos, fquat)
+        elif tag == "composite":
+            _parse_composite(child, owner_index, cls, defaults, spec, fpos, fquat)
+
+
+def _suffix_names(elem: ET.Element, suffix: str) -> None:
+    """Append a replicate suffix to every named element in a subtree."""
+    for e in elem.iter():
+        if "name" in e.attrib:
+            e.attrib["name"] = e.attrib["name"] + suffix
+
+
+def _parse_replicate(
+    elem: ET.Element,
+    owner: "BodySpec",
+    owner_index: int,
+    childclass: str,
+    defaults: "_Defaults",
+    spec: ModelSpec,
+    ppos: np.ndarray,
+    pquat: np.ndarray,
+) -> None:
+    """<replicate count= offset= euler= sep=>: stamp `count` copies of the
+    children, copy i posed at T^i with T = (offset, euler) composed on the
+    left (oracle-pinned: pos_i = R(i*euler) @ pos + sum_k R(k*euler) @ offset),
+    names suffixed with sep + i. Pure parse-time macro, like <frame>."""
+    deg, eulerseq = spec.degrees(), spec.compiler.get("eulerseq", "xyz")
+    count = int(elem.attrib["count"].split()[0])
+    sep = elem.get("sep", "")
+    off = parse_vec(elem.get("offset"), 3)
+    qstep = orientation_to_quat(elem.attrib, deg, eulerseq)
+    t, q = np.zeros(3), np.array([1.0, 0, 0, 0])
+    for i in range(count):
+        frame = ET.Element("frame", {"pos": _fmt_vec(t), "quat": _fmt_vec(q)})
+        for child in elem:
+            c = copy.deepcopy(child)
+            _suffix_names(c, sep + str(i))
+            frame.append(c)
+        _parse_frame(frame, owner, owner_index, childclass, defaults, spec, ppos, pquat)
+        t = _np_quat_to_mat(qstep) @ t + off
+        q = _np_mul_quat(qstep, q)
+
+
+def _parse_composite(
+    elem: ET.Element,
+    owner_index: int,
+    childclass: str,
+    defaults: "_Defaults",
+    spec: ModelSpec,
+    ppos: np.ndarray,
+    pquat: np.ndarray,
+) -> None:
+    """<composite type="cable">: expand into a chain of bodies with ball
+    joints along a curve (MuJoCo 3 user_composite semantics, the one
+    non-deprecated composite; particle/grid are <replicate> now).
+
+    Body frames are parallel-transported along the curve: body 0's x axis is
+    the first tangent with z = normalize(t0 x t1), and each subsequent frame
+    is the previous one rotated by the minimal rotation between consecutive
+    tangents (oracle-pinned on straight/planar/helix/vertex-list cables in
+    tests/test_composite.py). The elasticity plugin is not supported."""
+    at = elem.attrib
+    ctype = at.get("type", "")
+    if ctype != "cable":
+        raise NotImplementedError(
+            f"composite type '{ctype}' is not supported (cable is; particle/grid are "
+            "deprecated upstream in favor of <replicate>)"
+        )
+    if elem.find("plugin") is not None:
+        raise NotImplementedError("composite cable elasticity plugins are not supported")
+    prefix = at.get("prefix", "")
+    offset = parse_vec(at.get("offset"), 3)
+    if "vertex" in at:
+        flat = np.fromstring(at["vertex"], sep=" ")
+        verts = flat.reshape(-1, 3) + offset
+    else:
+        count = int(at["count"].split()[0])
+        size = parse_vec(at.get("size"), 3)
+        s = np.arange(count) / max(count - 1, 1)
+        cols = []
+        curve = at.get("curve", "s").split()
+        for k in range(3):
+            tok = curve[k] if k < len(curve) else "0"
+            if tok == "s":
+                cols.append(size[0] * s)
+            elif tok == "cos(s)":
+                cols.append(size[1] * np.cos(np.pi * size[2] * s))
+            elif tok == "sin(s)":
+                cols.append(size[1] * np.sin(np.pi * size[2] * s))
+            elif tok == "0":
+                cols.append(np.zeros_like(s))
+            else:
+                raise NotImplementedError(f"composite curve function '{tok}'")
+        verts = np.stack(cols, axis=1) + offset
+    n = len(verts) - 1
+    if n < 1:
+        raise ValueError("composite cable needs at least 2 vertices")
+
+    tang = np.diff(verts, axis=0)
+    seglen = np.linalg.norm(tang, axis=1)
+    tang = tang / seglen[:, None]
+
+    def minrot(a, b):  # minimal rotation matrix taking unit vector a to b
+        c, dd = np.cross(a, b), float(a @ b)
+        if np.linalg.norm(c) < 1e-12:
+            return np.eye(3)
+        K = np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0]])
+        return np.eye(3) + K + K @ K / (1.0 + dd)
+
+    x = tang[0]
+    z = np.cross(tang[0], tang[1]) if n > 1 else np.zeros(3)
+    if np.linalg.norm(z) < 1e-10:
+        ref = np.array([0.0, 0, 1]) if abs(x[2]) < 0.9 else np.array([0.0, 1, 0])
+        z = ref - x * (ref @ x)
+    z = z / np.linalg.norm(z)
+    frames_ = [np.stack([x, np.cross(z, x), z], axis=1)]
+    for i in range(1, n):
+        frames_.append(minrot(tang[i - 1], tang[i]) @ frames_[-1])
+
+    geom_t = elem.find("geom")
+    if geom_t is None:
+        raise ValueError("composite cable requires a <geom> template")
+    joint_t = {}
+    for jt in elem.findall("joint"):
+        if jt.get("kind", "main") == "main":
+            joint_t = {k: v for k, v in jt.attrib.items() if k != "kind"}
+    initial = at.get("initial", "free")
+
+    def tag_name(i):
+        return "first" if i == 0 else ("last" if i == n - 1 else str(i))
+
+    root = None
+    parent_elem = None
+    for i in range(n):
+        name = tag_name(i)
+        if i == 0:
+            pos, quat = verts[0], _np_mat_to_quat(frames_[0])
+        else:
+            pos = frames_[i - 1].T @ (verts[i] - verts[i - 1])
+            quat = _np_mat_to_quat(frames_[i - 1].T @ frames_[i])
+        b = ET.Element("body", {"name": f"{prefix}B_{name}", "pos": _fmt_vec(pos), "quat": _fmt_vec(quat)})
+        if i == 0:
+            if initial == "free":
+                ET.SubElement(b, "freejoint", {"name": f"{prefix}J_first"})
+            elif initial == "ball":
+                ja = dict(joint_t)
+                ja.update({"name": f"{prefix}J_first", "type": "ball"})
+                ET.SubElement(b, "joint", ja)
+            elif initial != "none":
+                raise ValueError(f"composite initial '{initial}'")
+        else:
+            ja = dict(joint_t)
+            ja.update({"name": f"{prefix}J_{name}", "type": "ball", "pos": "0 0 0"})
+            ET.SubElement(b, "joint", ja)
+        ga = dict(geom_t.attrib)
+        ga.pop("pos", None)
+        ga.pop("quat", None)
+        if "name" in ga:
+            ga["name"] = f"{ga['name']}G_{name}"
+        ga["fromto"] = _fmt_vec(np.concatenate([np.zeros(3), [seglen[i], 0, 0]]))
+        ET.SubElement(b, "geom", ga)
+        if root is None:
+            root = b
+        else:
+            parent_elem.append(b)
+        parent_elem = b
+
+    wrapper = ET.Element("frame", {"pos": "0 0 0"})
+    wrapper.append(root)
+    # find the owner BodySpec for _parse_frame dispatch
+    owner = spec.bodies[owner_index]
+    _parse_frame(wrapper, owner, owner_index, childclass, defaults, spec, ppos, pquat)
 
 
 def parse_mjcf_string(xml: str, base_dir: str = ".") -> ModelSpec:
@@ -332,6 +509,10 @@ def _parse_root(root: ET.Element, base_dir: str) -> ModelSpec:
                     )
                 elif child.tag == "frame":
                     _parse_frame(child, world, 0, "main", defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
+                elif child.tag == "replicate":
+                    _parse_replicate(child, world, 0, "main", defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
+                elif child.tag == "composite":
+                    _parse_composite(child, 0, "main", defaults, spec, np.zeros(3), np.array([1.0, 0, 0, 0]))
 
     for sec in root:
         if sec.tag == "actuator":

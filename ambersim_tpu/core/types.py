@@ -178,6 +178,7 @@ class SensorType(enum.IntEnum):
     GEOMDIST = 39
     GEOMNORMAL = 40
     GEOMFROMTO = 41
+    USER = 48
     E_POTENTIAL = 43
     E_KINETIC = 44
     CLOCK = 45
@@ -300,6 +301,8 @@ class Option:
     ls_iterations: int = struct.field(pytree_node=False, default=50)
     noslip_iterations: int = struct.field(pytree_node=False, default=0)
     disableflags: int = struct.field(pytree_node=False, default=0)
+    # bitmask of disabled actuator groups (<option actuatorgroupdisable>)
+    disableactuator: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass

@@ -307,6 +307,10 @@ def sensors(m: Model, d: Data) -> Data:
         refid = int(s.sensor_refid[i])
         adr = int(s.sensor_adr[i])
         dim = int(s.sensor_dim[i])
+        if stype == SensorType.USER:
+            # no mjcb_sensor-style callback mechanism: user sensors read 0
+            out = out.at[adr : adr + dim].set(0.0)
+            continue
         val = _eval_sensor(
             m,
             d,

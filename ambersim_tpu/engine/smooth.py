@@ -910,6 +910,15 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     force = jnp.where(
         limited_f, jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]), force
     )
+    if m.opt.disableactuator:
+        # <option actuatorgroupdisable>: zero force for actuators in disabled
+        # groups (static mask). Lengths/velocities and activation dynamics
+        # still run, matching mj_fwdActuation (oracle-pinned: a disabled
+        # filter actuator keeps integrating act).
+        disabled = np.asarray(
+            (m.opt.disableactuator >> np.clip(s.actuator_group, 0, 30)) & 1, bool
+        ) & (np.asarray(s.actuator_group) >= 0)
+        force = jnp.where(jnp.asarray(disabled), 0.0, force)
     qfrc = moment.T @ force
     if np.asarray(s.jnt_actfrclimited).any():
         # joint-level actuatorfrcrange: clamp total actuator force per dof

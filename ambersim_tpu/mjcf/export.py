@@ -52,6 +52,10 @@ def spec_to_xml(spec: ModelSpec) -> str:
             ET.SubElement(body_elem, "geom", dict(g.attrib))
         for s_ in body.sites:
             ET.SubElement(body_elem, "site", dict(s_.attrib))
+        for c in body.cameras:
+            ET.SubElement(body_elem, "camera", dict(c.attrib))
+        for lt in body.lights:
+            ET.SubElement(body_elem, "light", dict(lt.attrib))
 
     if spec.actuators:
         act = ET.SubElement(root, "actuator")

@@ -20,6 +20,35 @@ def test_save_model_xml_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(model.actuator_ctrlrange[0]), [-2.0, 2.0])
 
 
+def test_export_emits_cameras_and_lights():
+    """spec_to_xml preserves <camera>/<light> elements (worldbody and body-attached)."""
+    import mujoco
+
+    from ambersim_tpu.mjcf.export import spec_to_xml
+    from ambersim_tpu.mjcf.parser import parse_mjcf_string
+
+    xml = """
+    <mujoco>
+      <worldbody>
+        <light pos="0 0 3" dir="0 0 -1" directional="true"/>
+        <body name="b" pos="0 0 1">
+          <joint type="hinge" axis="0 1 0"/>
+          <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0"/>
+          <camera name="track" pos="0 -1 0.5" mode="trackcom"/>
+          <light name="spot" pos="0 0 0.5" dir="0 0 -1" cutoff="30"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    out = spec_to_xml(parse_mjcf_string(xml))
+    m1 = mujoco.MjModel.from_xml_string(xml)
+    m2 = mujoco.MjModel.from_xml_string(out)
+    assert (m1.ncam, m1.nlight) == (m2.ncam, m2.nlight) == (1, 2)
+    np.testing.assert_allclose(m1.cam_pos, m2.cam_pos)
+    np.testing.assert_allclose(m1.light_dir, m2.light_dir)
+    np.testing.assert_allclose(m1.light_pos, m2.light_pos)
+
+
 def _make_two_tet_obj(path):
     """Two disjoint tetrahedra: a 2-component mesh."""
     tet = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])

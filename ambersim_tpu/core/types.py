@@ -147,6 +147,7 @@ class SensorType(enum.IntEnum):
     TORQUE = 5
     MAGNETOMETER = 6
     RANGEFINDER = 7
+    CAMPROJECTION = 8
     JOINTPOS = 9
     JOINTVEL = 10
     TENDONPOS = 11
@@ -155,6 +156,7 @@ class SensorType(enum.IntEnum):
     ACTUATORVEL = 14
     ACTUATORFRC = 15
     JOINTACTFRC = 16
+    TENDONACTFRC = 17
     BALLQUAT = 18
     BALLANGVEL = 19
     JOINTLIMITPOS = 20
@@ -175,6 +177,7 @@ class SensorType(enum.IntEnum):
     SUBTREECOM = 35
     SUBTREELINVEL = 36
     SUBTREEANGMOM = 37
+    INSIDESITE = 38
     GEOMDIST = 39
     GEOMNORMAL = 40
     GEOMFROMTO = 41
@@ -193,6 +196,7 @@ class ObjType(enum.IntEnum):
     JOINT = 3
     GEOM = 5
     SITE = 6
+    CAMERA = 7
     TENDON = 18
     ACTUATOR = 19
 
@@ -379,6 +383,9 @@ class Model:
     cam_pos: jax.Array  # (ncam, 3) local offset in body frame
     cam_quat: jax.Array  # (ncam, 4)
     cam_fovy: jax.Array  # (ncam,) vertical field of view (render metadata)
+    cam_resolution: jax.Array  # (ncam, 2) image width/height in pixels
+    cam_intrinsic: jax.Array  # (ncam, 4) focal xy + principal xy, length units
+    cam_sensorsize: jax.Array  # (ncam, 2) sensor size; nonzero -> use intrinsic
     cam_pos0: jax.Array  # (ncam, 3) global offset from body xpos at qpos0
     cam_poscom0: jax.Array  # (ncam, 3) global offset from subtree com at qpos0
     cam_mat0: jax.Array  # (ncam, 3, 3) global orientation at qpos0

@@ -51,6 +51,8 @@ _POS = {
     SensorType.SUBTREECOM,
     SensorType.E_POTENTIAL,
     SensorType.CLOCK,
+    SensorType.CAMPROJECTION,
+    SensorType.INSIDESITE,
     SensorType.GEOMDIST,
     SensorType.GEOMNORMAL,
     SensorType.GEOMFROMTO,
@@ -82,6 +84,7 @@ _ACC = {
     SensorType.TORQUE,
     SensorType.ACTUATORFRC,
     SensorType.JOINTACTFRC,
+    SensorType.TENDONACTFRC,
     SensorType.JOINTLIMITFRC,
     SensorType.TENDONLIMITFRC,
     SensorType.FRAMELINACC,
@@ -471,6 +474,34 @@ def _eval_sensor(
         return d.actuator_velocity[objid]
     if stype == SensorType.ACTUATORFRC:
         return d.actuator_force[objid]
+    if stype == SensorType.TENDONACTFRC:
+        # scalar actuator force acting on the tendon: sum of actuator_force
+        # over actuators with a tendon transmission targeting it (static mask)
+        from ambersim_tpu.core.types import TrnType
+
+        mask = (s.actuator_trntype == int(TrnType.TENDON)) & (s.actuator_trnid == objid)
+        return jnp.sum(jnp.where(jnp.asarray(mask), d.actuator_force, 0.0))
+    if stype == SensorType.CAMPROJECTION:
+        # project site objid into camera refid's image plane (pixel coords).
+        # Focal transform: sensorsize nonzero -> intrinsic focal length scaled
+        # to pixels, else from fovy; principal point is stored but unused
+        # (oracle-pinned: mujoco cam_project ignores cam_intrinsic[2:4]).
+        dtype = d.qpos.dtype
+        p_cam = d.cam_xmat[refid].T @ (d.site_xpos[objid] - d.cam_xpos[refid])
+        res = jnp.asarray(m.cam_resolution[refid], dtype)
+        ss = jnp.asarray(m.cam_sensorsize[refid], dtype)
+        use_intrinsic = (ss[0] > 0) & (ss[1] > 0)
+        f_fovy = 0.5 / jnp.tan(m.cam_fovy[refid] * jnp.pi / 360.0) * res[1]
+        fx = jnp.where(use_intrinsic, m.cam_intrinsic[refid, 0] / jnp.where(ss[0] > 0, ss[0], 1.0) * res[0], f_fovy)
+        fy = jnp.where(use_intrinsic, m.cam_intrinsic[refid, 1] / jnp.where(ss[1] > 0, ss[1], 1.0) * res[1], f_fovy)
+        denom = p_cam[2]
+        denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.where(denom < 0, -1e-12, 1e-12), denom)
+        u = -fx * p_cam[0] / denom + res[0] / 2.0
+        v = fy * p_cam[1] / denom + res[1] / 2.0
+        return jnp.stack([u, v])
+    if stype == SensorType.INSIDESITE:
+        point, _ = _object_pos_mat(m, d, objtype, objid)
+        return _inside_site(m, d, refid, point).astype(d.qpos.dtype)
     if stype == SensorType.JOINTACTFRC:
         return d.qfrc_actuator[s.jnt_dofadr[objid]]
     if stype in (SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL, SensorType.JOINTLIMITFRC):

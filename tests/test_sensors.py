@@ -228,3 +228,108 @@ def test_sensordata_in_rollout():
     _, traj = jax.lax.scan(body, d, None, length=10)
     assert np.isfinite(np.asarray(traj)).all()
     assert not np.allclose(traj[0], traj[-1])
+
+
+CAM_INSIDE_RIG = """
+<mujoco model="cam_inside_rig">
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="zone_box" type="box" size="0.5 0.4 0.3" pos="0 0 1" euler="0 0 20"/>
+    <site name="zone_sph" type="sphere" size="0.25" pos="0.2 0 1"/>
+    <body name="rig" pos="0.1 0.2 0.3" euler="10 20 30">
+      <joint name="h" type="hinge" axis="0 0 1"/>
+      <geom type="sphere" size="0.05" density="800"/>
+      <camera name="cam_fovy" pos="0.3 -0.2 0.5" euler="15 25 5" fovy="60" resolution="640 480"/>
+      <camera name="cam_intr" pos="-0.1 0.4 0.2" euler="80 10 -30" resolution="1280 720"
+              sensorsize="0.036 0.024" focal="0.05 0.04"/>
+      <camera name="cam_fpix" pos="0 0 0.6" euler="5 -10 40" resolution="320 240"
+              sensorsize="0.012 0.009" focalpixel="300 300" principalpixel="4 -2"/>
+    </body>
+    <body name="probe" pos="0.25 0.1 0.95">
+      <freejoint/>
+      <geom name="probe_geom" type="sphere" size="0.02" density="1000" pos="0.01 0 0.02"/>
+      <site name="probe_site" pos="0.01 0.02 0.03"/>
+    </body>
+    <body name="winch" pos="1 0 1">
+      <joint name="w" type="slide" axis="0 0 1" damping="1"/>
+      <geom type="box" size="0.05 0.05 0.05" density="500"/>
+      <site name="w_site" pos="0 0 0.1"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="cable">
+      <site site="probe_site"/>
+      <site site="w_site"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <motor name="cable_m1" tendon="cable" gear="1.5"/>
+    <motor name="cable_m2" tendon="cable" gear="-0.5"/>
+    <motor name="hinge_m" joint="h"/>
+  </actuator>
+  <sensor>
+    <camprojection name="cp1" site="probe_site" camera="cam_fovy"/>
+    <camprojection name="cp2" site="probe_site" camera="cam_intr"/>
+    <camprojection name="cp3" site="probe_site" camera="cam_fpix"/>
+    <insidesite name="in_site" site="zone_box" objtype="site" objname="probe_site"/>
+    <insidesite name="in_xbody" site="zone_box" objtype="xbody" objname="probe"/>
+    <insidesite name="in_body" site="zone_box" objtype="body" objname="probe"/>
+    <insidesite name="in_geom" site="zone_sph" objtype="geom" objname="probe_geom"/>
+    <tendonactuatorfrc name="taf" tendon="cable"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_camprojection_insidesite_tendonactfrc_parity():
+    """camprojection (fovy + intrinsic + focalpixel cameras), insidesite over
+    all objtypes, tendonactfrc (two tendon actuators summed) vs the oracle."""
+    mj_model, model = _load_pair(CAM_INSIDE_RIG)
+    slices = _sensor_slices(mj_model)
+    np.testing.assert_allclose(model.cam_intrinsic, mj_model.cam_intrinsic, atol=1e-6)
+    np.testing.assert_allclose(model.cam_resolution, mj_model.cam_resolution, atol=0)
+    fwd = jax.jit(forward)
+    rng = np.random.default_rng(11)
+
+    hits = 0
+    for trial in range(6):
+        qpos = mj_model.qpos0.copy()
+        qpos[0] += 0.5 * rng.standard_normal()
+        qpos[1:4] += 0.3 * rng.standard_normal(3)  # free-body translation
+        q = rng.standard_normal(4)
+        qpos[4:8] = q / np.linalg.norm(q)
+        qpos[8] += 0.3 * rng.standard_normal()
+        qvel = 0.3 * rng.standard_normal(mj_model.nv)
+        ctrl = rng.standard_normal(mj_model.nu)
+
+        mj_data = mujoco.MjData(mj_model)
+        mj_data.qpos[:] = qpos
+        mj_data.qvel[:] = qvel
+        mj_data.ctrl[:] = ctrl
+        mujoco.mj_forward(mj_model, mj_data)
+
+        d = make_data(model)
+        d = d.replace(
+            qpos=jnp.asarray(qpos, jnp.float32),
+            qvel=jnp.asarray(qvel, jnp.float32),
+            ctrl=jnp.asarray(ctrl, jnp.float32),
+        )
+        d = fwd(model, d)
+        got = np.asarray(d.sensordata)
+        want = mj_data.sensordata
+
+        for name in ("cp1", "cp2", "cp3"):
+            w = want[slices[name]]
+            # pixel coords can be huge near the focal plane; compare w/ rtol
+            np.testing.assert_allclose(
+                got[slices[name]], w, rtol=2e-3, atol=0.5, err_msg=f"{name} trial {trial}"
+            )
+        for name in ("in_site", "in_xbody", "in_body", "in_geom"):
+            np.testing.assert_array_equal(
+                got[slices[name]], want[slices[name]], err_msg=f"{name} trial {trial}"
+            )
+            hits += int(want[slices[name]][0])
+        np.testing.assert_allclose(
+            got[slices["taf"]], want[slices["taf"]], rtol=1e-4, atol=1e-5, err_msg=f"taf trial {trial}"
+        )
+    assert hits > 0  # at least one inside hit across trials (test is not vacuous)

@@ -181,6 +181,7 @@ class SensorType(enum.IntEnum):
     GEOMDIST = 39
     GEOMNORMAL = 40
     GEOMFROMTO = 41
+    CONTACT = 42
     USER = 48
     E_POTENTIAL = 43
     E_KINETIC = 44

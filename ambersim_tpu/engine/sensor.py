@@ -200,6 +200,155 @@ def _contact_forces_world(m: Model, d: Data):
     return jnp.stack(normals), jnp.stack(forces)
 
 
+def _contact_wrench(m: Model, d: Data) -> jax.Array:
+    """(ncon, 6) contact-frame wrench (fn, ft1, ft2, tn, tt1, tt2) acting on
+    each slot's geom2 (mj_contactForce semantics), from efc_force."""
+    s = m.skel
+    elliptic = m.opt.cone == int(ConeType.ELLIPTIC)
+    dtype = d.qpos.dtype
+    rows = []
+    for slot in range(s.ncon):
+        adr = int(s.con_efcadr[slot])
+        cdim = int(s.con_dim[slot])
+        mu = d.contact.friction[slot]  # (5,) t1 t2 torsional roll1 roll2
+        w = jnp.zeros(6, dtype)
+        if cdim == 1:
+            w = w.at[0].set(d.efc_force[adr])
+        elif elliptic:
+            f = d.efc_force[adr : adr + cdim]
+            w = w.at[:cdim].set(f)
+        else:
+            nfacet = 2 * (cdim - 1)
+            f = d.efc_force[adr : adr + nfacet]
+            w = w.at[0].set(jnp.sum(f))
+            for i in range(cdim - 1):
+                w = w.at[1 + i].set(mu[i] * (f[2 * i] - f[2 * i + 1]))
+        active = d.efc_active[adr]
+        rows.append(jnp.where(active, w, jnp.zeros(6, dtype)))
+    return jnp.stack(rows)
+
+
+def _contact_sensor(m: Model, d: Data, objtype, objid, reftype, refid, intprm, wrench):
+    """mjSENS_CONTACT: match contact slots by side criteria, reduce, and
+    write `num` slots of the selected data fields.
+
+    Conventions pinned against the oracle (tests/test_contact_sensor.py):
+    in-order match reports the stored contact-frame wrench (acting on the
+    second matched side), normal = frame n, tangent = frame t1; a swapped
+    match negates the third (t2) components of force/torque and negates
+    normal/tangent. netforce sums world wrenches on the second side about
+    the |F|-weighted centroid of matched contact positions."""
+    s = m.skel
+    dtype = d.qpos.dtype
+    dataspec, reduce_, num = int(intprm[0]), int(intprm[1]), int(intprm[2])
+    widths = [("found", 1, 1), ("force", 2, 3), ("torque", 4, 3), ("dist", 8, 1), ("pos", 16, 3), ("normal", 32, 3), ("tangent", 64, 3)]
+    sel_fields = [(n, w) for n, b, w in widths if dataspec & b]
+    width = sum(w for _, w in sel_fields)
+    if s.ncon == 0:
+        return jnp.zeros(num * width, dtype)
+
+    ngeom = s.ngeom
+
+    def side_mask(t, i):
+        t = ObjType(t)
+        if t in (ObjType.UNKNOWN, ObjType.SITE):
+            return np.ones(ngeom, bool)  # wildcard (site is a position filter)
+        if t == ObjType.GEOM:
+            mask = np.zeros(ngeom, bool)
+            mask[i] = True
+            return mask
+        if t == ObjType.BODY:
+            return np.asarray(s.geom_bodyid) == i
+        if t == ObjType.XBODY:  # subtree rooted at body i (parents precede children)
+            sub = np.zeros(s.nbody, bool)
+            sub[i] = True
+            parent = np.asarray(s.body_parentid)
+            for b in range(i + 1, s.nbody):
+                sub[b] |= sub[parent[b]]
+            return sub[np.asarray(s.geom_bodyid)]
+        raise NotImplementedError(f"contact sensor criterion objtype {t}")
+
+    m1 = jnp.asarray(side_mask(objtype, objid))
+    m2 = jnp.asarray(side_mask(reftype, refid))
+    g1, g2 = d.contact.geom1, d.contact.geom2
+    inorder = m1[g1] & m2[g2]
+    swapped = m1[g2] & m2[g1] & ~inorder
+    active = d.efc_active[jnp.asarray(s.con_efcadr)]
+    matched = (inorder | swapped) & active
+    if ObjType(objtype) == ObjType.SITE:
+        inside = jax.vmap(lambda p: _inside_site(m, d, objid, p))(d.contact.pos)
+        matched = matched & inside
+
+    sigma = jnp.where(swapped, -1.0, 1.0).astype(dtype)
+    frame = d.contact.frame  # (ncon, 3, 3) rows n, t1, t2
+    force_f = wrench[:, :3] * jnp.stack([jnp.ones_like(sigma), jnp.ones_like(sigma), sigma], -1)
+    torque_f = wrench[:, 3:] * jnp.stack([jnp.ones_like(sigma), jnp.ones_like(sigma), sigma], -1)
+    per_slot = {
+        "force": force_f,
+        "torque": torque_f,
+        "dist": d.contact.dist[:, None],
+        "pos": d.contact.pos,
+        "normal": sigma[:, None] * frame[:, 0],
+        "tangent": sigma[:, None] * frame[:, 1],
+    }
+    maskf = matched.astype(dtype)
+    found = jnp.sum(maskf)
+
+    feat_names = [n for n, _ in sel_fields if n != "found"]
+    has_found = any(n == "found" for n, _ in sel_fields)
+
+    def assemble(rows_by_name, found_col):
+        """Interleave found + field rows per the dataspec order. rows: (num, w)."""
+        parts = []
+        for n, w in sel_fields:
+            parts.append(found_col[:, None] if n == "found" else rows_by_name[n])
+        return jnp.concatenate(parts, axis=1).reshape(-1)
+
+    if reduce_ == 0:  # none: first `num` matched slots in slot order
+        rank = jnp.cumsum(maskf)
+        selmat = maskf[None, :] * (rank[None, :] == jnp.arange(1, num + 1, dtype=rank.dtype)[:, None])
+        rows = {n: selmat @ per_slot[n] for n in feat_names}
+        found_col = found * (found > jnp.arange(num, dtype=dtype)) if has_found else None
+        return assemble(rows, found_col)
+
+    if reduce_ in (1, 2):  # mindist / maxforce: single winner in slot 0
+        big = jnp.asarray(1e30, dtype)
+        if reduce_ == 1:
+            score = jnp.where(matched, d.contact.dist, big)
+            win = jnp.argmin(score)
+        else:
+            score = jnp.where(matched, wrench[:, 0], -big)
+            win = jnp.argmax(score)
+        sel = (jnp.arange(s.ncon) == win).astype(dtype) * (found > 0)
+        selmat = jnp.zeros((num, s.ncon), dtype).at[0].set(sel)
+        rows = {n: selmat @ per_slot[n] for n in feat_names}
+        found_col = (found * (jnp.arange(num) == 0)) if has_found else None
+        return assemble(rows, found_col)
+
+    # netforce: world wrench on the second matched side, about the
+    # |F|-weighted centroid of matched contact positions
+    Fw = sigma[:, None] * jnp.einsum("ci,cij->cj", wrench[:, :3], frame)
+    Tw = sigma[:, None] * jnp.einsum("ci,cij->cj", wrench[:, 3:], frame)
+    Fw = maskf[:, None] * Fw
+    Tw = maskf[:, None] * Tw
+    wts = jnp.linalg.norm(Fw, axis=1)
+    ref = jnp.sum(wts[:, None] * d.contact.pos, 0) / jnp.maximum(jnp.sum(wts), 1e-15)
+    Fsum = jnp.sum(Fw, 0)
+    Tsum = jnp.sum(jnp.cross(d.contact.pos - ref, Fw) + Tw, 0)
+    nonzero = (found > 0).astype(dtype)
+    rows0 = {
+        "force": Fsum,
+        "torque": Tsum,
+        "dist": jnp.zeros(1, dtype),
+        "pos": ref * nonzero,
+        "normal": jnp.array([1.0, 0, 0], dtype) * nonzero,
+        "tangent": jnp.array([0.0, 1, 0], dtype) * nonzero,
+    }
+    rows = {n: jnp.zeros((num, rows0[n].shape[-1]), dtype).at[0].set(rows0[n]) for n in feat_names}
+    found_col = (found * (jnp.arange(num) == 0)) if has_found else None
+    return assemble(rows, found_col)
+
+
 def _cfrc_int(m: Model, d: Data, con_normal, con_force) -> jax.Array:
     """Interaction force (ang, lin) each body receives through its parent
     joint (backward pass of mj_rnePostConstraint). External loads included:
@@ -294,6 +443,9 @@ def sensors(m: Model, d: Data) -> Data:
     con_normal = con_force = None
     if present & {SensorType.TOUCH, SensorType.FORCE, SensorType.TORQUE}:
         con_normal, con_force = _contact_forces_world(m, d)
+    con_wrench = None
+    if SensorType.CONTACT in present and s.ncon > 0:
+        con_wrench = _contact_wrench(m, d)
     cfrc_int = None
     if present & {SensorType.FORCE, SensorType.TORQUE}:
         cfrc_int = _cfrc_int(m, d, con_normal, con_force)
@@ -313,6 +465,12 @@ def sensors(m: Model, d: Data) -> Data:
         if stype == SensorType.USER:
             # no mjcb_sensor-style callback mechanism: user sensors read 0
             out = out.at[adr : adr + dim].set(0.0)
+            continue
+        if stype == SensorType.CONTACT:
+            val = _contact_sensor(
+                m, d, objtype, objid, reftype, refid, s.sensor_intprm[i], con_wrench
+            )
+            out = out.at[adr : adr + dim].set(jnp.asarray(val, dtype))
             continue
         val = _eval_sensor(
             m,

@@ -7,6 +7,7 @@ from ambersim_tpu.core.types import (  # noqa: F401
     Data,
     DisableBit,
     DynType,
+    EnableBit,
     EqType,
     GainType,
     GeomType,

@@ -28,22 +28,59 @@ from flax import struct
 
 
 class DisableBit(enum.IntFlag):
-    """Option flags disabling pipeline stages (MuJoCo-compatible values)."""
+    """Option flags disabling pipeline stages (mjtDisableBit, MuJoCo >= 3.9
+    numbering: PASSIVE was split into SPRING and DAMPER, shifting every
+    higher bit up by one — values verified against the installed oracle).
+
+    MIDPHASE/NATIVECCD/MULTICCD/ISLAND are accepted for XML compatibility but
+    are no-ops here: this engine's collision driver is static-pair +
+    runtime-top-k (no BVH midphase to toggle) and its narrowphase is exact
+    SAT (no CCD variant switch); islands never help a batched dense solve.
+    AUTORESET (host-side reset-on-divergence) is likewise a no-op: batched RL
+    wrappers own reset semantics (rl/wrappers.py).
+    """
 
     CONSTRAINT = 1 << 0
     EQUALITY = 1 << 1
     FRICTIONLOSS = 1 << 2
     LIMIT = 1 << 3
     CONTACT = 1 << 4
-    PASSIVE = 1 << 5
-    GRAVITY = 1 << 6
-    CLAMPCTRL = 1 << 7
-    WARMSTART = 1 << 8
-    FILTERPARENT = 1 << 9
-    ACTUATION = 1 << 10
-    REFSAFE = 1 << 11
-    SENSOR = 1 << 12
-    EULERDAMP = 1 << 14
+    SPRING = 1 << 5
+    DAMPER = 1 << 6
+    GRAVITY = 1 << 7
+    CLAMPCTRL = 1 << 8
+    WARMSTART = 1 << 9
+    FILTERPARENT = 1 << 10
+    ACTUATION = 1 << 11
+    REFSAFE = 1 << 12
+    SENSOR = 1 << 13
+    MIDPHASE = 1 << 14
+    EULERDAMP = 1 << 15
+    AUTORESET = 1 << 16
+    NATIVECCD = 1 << 17
+    ISLAND = 1 << 18
+    MULTICCD = 1 << 19
+    # compatibility alias for the pre-3.9 flag the reference era used:
+    # disabling "passive" means disabling both springs and dampers (and with
+    # both set, mj_passive returns early — fluid/gravcomp zeroed too)
+    PASSIVE = SPRING | DAMPER
+
+
+class EnableBit(enum.IntFlag):
+    """Option flags enabling optional computations (mjtEnableBit values
+    verified against the installed oracle).
+
+    OVERRIDE, ENERGY and FWDINV are implemented; INVDISCRETE and SLEEP are
+    accepted for XML compatibility but no-ops (discrete-time inverse is the
+    `engine.inverse` default contract here, and sleeping is a host-side
+    serial-sim optimization that never pays under vmap)."""
+
+    OVERRIDE = 1 << 0
+    ENERGY = 1 << 1
+    FWDINV = 1 << 2
+    INVDISCRETE = 1 << 3
+    SLEEP = 1 << 4
+    DIAGEXACT = 1 << 5
 
 
 class JointType(enum.IntEnum):
@@ -298,6 +335,13 @@ class Option:
     impratio: jax.Array
     tolerance: jax.Array
     noslip_tolerance: jax.Array
+    # contact-parameter overrides, applied to every contact when
+    # EnableBit.OVERRIDE is set (mjOption o_* fields); traced so they can be
+    # swept under vmap for solver-robustness studies
+    o_margin: jax.Array = struct.field(default=None)  # scalar
+    o_solref: jax.Array = struct.field(default=None)  # (2,)
+    o_solimp: jax.Array = struct.field(default=None)  # (5,)
+    o_friction: jax.Array = struct.field(default=None)  # (5,)
     # static (affect trace structure / loop counts)
     integrator: int = struct.field(pytree_node=False, default=int(IntegratorType.EULER))
     solver: int = struct.field(pytree_node=False, default=int(SolverType.NEWTON))
@@ -306,6 +350,7 @@ class Option:
     ls_iterations: int = struct.field(pytree_node=False, default=50)
     noslip_iterations: int = struct.field(pytree_node=False, default=0)
     disableflags: int = struct.field(pytree_node=False, default=0)
+    enableflags: int = struct.field(pytree_node=False, default=0)
     # bitmask of disabled actuator groups (<option actuatorgroupdisable>)
     disableactuator: int = struct.field(pytree_node=False, default=0)
 
@@ -329,7 +374,7 @@ class Contact:
     solref: jax.Array  # (ncon, 2)
     solimp: jax.Array  # (ncon, 5)
     includemargin: jax.Array  # (ncon,)
-    gap: jax.Array  # (ncon,) — margin = includemargin + gap (adhesion reach)
+    gap: jax.Array  # (ncon,) — carried from XML; dynamically inert (MuJoCo 3.10)
     geom1: jax.Array  # (ncon,) int32
     geom2: jax.Array  # (ncon,) int32
 
@@ -613,6 +658,14 @@ class Data:
     # lazily by engine.sensor for acc-stage sensors)
     cacc: jax.Array  # (nbody, 6)
     sensordata: jax.Array  # (nsensordata,)
+
+    # diagnostics, populated only under the corresponding EnableBit (zeros
+    # otherwise; always materialized so scan carries keep a stable pytree):
+    # energy = (potential, kinetic) as in mj_energyPos/mj_energyVel;
+    # solver_fwdinv = (|qfrc_constraint_fwd - inv|, |efc_force_fwd - inv|)
+    # as in mj_compareFwdInv
+    energy: jax.Array = None  # (2,)
+    solver_fwdinv: jax.Array = None  # (2,)
 
 
 def tree_dtype(x) -> Any:  # pragma: no cover - debugging helper

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ambersim_tpu.core.types import Contact, Data, GeomType, Model
+from ambersim_tpu.core.types import Contact, Data, EnableBit, GeomType, Model
 
 _BIG = 1e10
 
@@ -624,7 +624,10 @@ def geom_pair_distance(m: Model, d: Data, g1: int, g2: int):
 
 def _mix_params(m: Model, g1, g2):
     """Contact parameter mixing (mirrors mj_contactParam): priority wins,
-    otherwise solmix-weighted solref/solimp, max friction, max margin/gap.
+    otherwise solmix-weighted solref/solimp, max friction. Margins ADD
+    (includemargin = margin1 + margin2 regardless of priority) and gap is
+    dynamically inert — both oracle-verified against MuJoCo 3.10, which
+    changed the pre-3.x max-margin / margin-minus-gap semantics.
 
     g1/g2 may be static numpy indices or traced int arrays (broadphase-capped
     groups select pairs at runtime), so model fields go through jnp.asarray."""
@@ -654,7 +657,7 @@ def _mix_params(m: Model, g1, g2):
     fr = jnp.where(eq[..., None], fr, jnp.where(p1[..., None] > p2[..., None], gfriction[g1], gfriction[g2]))
     friction = jnp.stack([fr[..., 0], fr[..., 0], fr[..., 1], fr[..., 2], fr[..., 2]], axis=-1)
 
-    margin = jnp.maximum(gmargin[g1], gmargin[g2])
+    margin = gmargin[g1] + gmargin[g2]
     gap = jnp.maximum(ggap[g1], ggap[g2])
     return friction, solref, solimp, margin, gap
 
@@ -788,7 +791,24 @@ def collision(m: Model, d: Data) -> Data:
             margin = jnp.where(hexp, jnp.asarray(m.pair_margin)[eidx], margin)
             gap = jnp.where(hexp, jnp.asarray(m.pair_gap)[eidx], gap)
 
-        includemargin = margin - gap
+        if m.opt.enableflags & EnableBit.OVERRIDE:
+            # mjENBL_OVERRIDE: contact solver parameters replaced wholesale by
+            # the option-level o_* values; includemargin = o_margin with gap
+            # treated as zero (oracle-verified). condim stays per-geom. The
+            # o_* fields are traced, so overrides can be swept under vmap.
+            friction = jnp.broadcast_to(
+                jnp.asarray(m.opt.o_friction, dtype), friction.shape
+            )
+            solref = jnp.broadcast_to(jnp.asarray(m.opt.o_solref, dtype), solref.shape)
+            solimp = jnp.broadcast_to(jnp.asarray(m.opt.o_solimp, dtype), solimp.shape)
+            includemargin = jnp.broadcast_to(
+                jnp.asarray(m.opt.o_margin, dtype), margin.shape
+            )
+            gap = jnp.zeros_like(gap)
+        else:
+            # oracle-verified (MuJoCo 3.10): includemargin is the mixed (or
+            # explicit <pair>) margin; gap no longer subtracts
+            includemargin = margin
         # scatter into slots (slot indices static for both paths)
         dist_all = dist_all.at[slots].set(dist.reshape(-1))
         pos_all = pos_all.at[slots].set(pos.reshape(-1, 3))

@@ -3,7 +3,7 @@ role of mjx.forward/mjx.step at reference ambersim/rl/base.py:86,93)."""
 
 from __future__ import annotations
 
-from ambersim_tpu.core.types import Data, DisableBit, IntegratorType, Model
+from ambersim_tpu.core.types import Data, DisableBit, EnableBit, IntegratorType, Model
 from ambersim_tpu.engine import collision, constraint, integrate, smooth, solver
 
 
@@ -25,8 +25,14 @@ def forward(m: Model, d: Data) -> Data:
     import jax
 
     d = fwd_position(m, d)
+    if m.opt.enableflags & EnableBit.ENERGY:
+        # mj_energyPos at the end of the position stage
+        d = d.replace(energy=d.energy.at[0].set(smooth.energy_pos(m, d)))
     with jax.named_scope("fwd_velocity"):
         d = smooth.fwd_velocity(m, d)
+    if m.opt.enableflags & EnableBit.ENERGY:
+        # mj_energyVel at the end of the velocity stage
+        d = d.replace(energy=d.energy.at[1].set(smooth.energy_vel(m, d)))
     with jax.named_scope("fwd_actuation"):
         d = smooth.fwd_actuation(m, d)
     with jax.named_scope("fwd_acceleration"):
@@ -45,6 +51,22 @@ def forward(m: Model, d: Data) -> Data:
 
             with jax.named_scope("noslip"):
                 d = noslip.noslip(m, d)
+    if m.opt.enableflags & EnableBit.FWDINV:
+        # mj_compareFwdInv: recover the constraint force from the solved qacc
+        # via the inverse direction and report the discrepancy norms
+        import jax.numpy as jnp
+
+        from ambersim_tpu.engine.inverse import inv_constraint
+
+        di = inv_constraint(m, d)
+        d = d.replace(
+            solver_fwdinv=jnp.stack(
+                [
+                    jnp.linalg.norm(d.qfrc_constraint - di.qfrc_constraint),
+                    jnp.linalg.norm(d.efc_force - di.efc_force),
+                ]
+            )
+        )
     if m.skel.nsensor and not (m.opt.disableflags & DisableBit.SENSOR):
         from ambersim_tpu.engine import sensor
 

@@ -112,4 +112,6 @@ def make_data(m: Model, dtype=jnp.float32, keyframe=None) -> Data:
         efc_force=z(s.nefc),
         cacc=z(s.nbody, 6),
         sensordata=z(s.nsensordata),
+        energy=z(2),
+        solver_fwdinv=z(2),
     )

@@ -93,10 +93,15 @@ def _qderiv_vel(m: Model, d: Data) -> jax.Array:
 
     s = m.skel
     dtype = d.qpos.dtype
-    D = -jnp.diag(jnp.asarray(m.dof_damping, dtype))
-    if s.ntendon:
-        tj = d.ten_J.astype(dtype)
-        D = D - tj.T @ (jnp.asarray(m.tendon_damping, dtype)[:, None] * tj)
+    # mjDSBL_DAMPER removes both the damping force and its implicit-LHS
+    # derivative (oracle-verified: qvel is unchanged with the flag set)
+    if m.opt.disableflags & DB.DAMPER:
+        D = jnp.zeros((s.nv, s.nv), dtype)
+    else:
+        D = -jnp.diag(jnp.asarray(m.dof_damping, dtype))
+        if s.ntendon:
+            tj = d.ten_J.astype(dtype)
+            D = D - tj.T @ (jnp.asarray(m.tendon_damping, dtype)[:, None] * tj)
     if s.nu and not (m.opt.disableflags & DB.ACTUATION):
         moment = smooth.actuator_moment(m, d)  # (nu, nv)
         inp = smooth.act_input(m, d)
@@ -121,9 +126,11 @@ def _qderiv_vel_ad(m: Model, d: Data, include_bias: bool):
     from ambersim_tpu.engine import smooth
 
     s = m.skel
-    has_fluid = bool(getattr(s, "has_fluid", False)) and not (
-        m.opt.disableflags & DisableBit.PASSIVE
-    )
+    # fluid drag is skipped only when BOTH spring and damper are disabled
+    # (mj_passive early-exit semantics)
+    has_fluid = bool(getattr(s, "has_fluid", False)) and (
+        m.opt.disableflags & int(DisableBit.PASSIVE)
+    ) != int(DisableBit.PASSIVE)
     if not (include_bias or has_fluid):
         return None
 
@@ -193,7 +200,11 @@ def euler(m: Model, d: Data) -> Data:
     s = m.skel
     h = m.opt.timestep
     d = _advance_act(m, d, h)
-    use_implicit = bool(s.has_damping) and not (m.opt.disableflags & DisableBit.EULERDAMP)
+    use_implicit = (
+        bool(s.has_damping)
+        and not (m.opt.disableflags & DisableBit.EULERDAMP)
+        and not (m.opt.disableflags & DisableBit.DAMPER)
+    )
     if use_implicit:
         from ambersim_tpu.engine import linalg
 

@@ -695,18 +695,13 @@ def _eval_sensor(
     if stype == SensorType.SUBTREEANGMOM:
         return subtree_angmom[objid]
     if stype == SensorType.E_POTENTIAL:
-        gravity = jnp.where(m.opt.disableflags & DisableBit.GRAVITY, 0.0, 1.0) * m.opt.gravity
-        pot = -jnp.sum(m.body_mass[:, None] * d.xipos * jnp.asarray(gravity, d.qpos.dtype))
-        # joint springs (hinge/slide); matches engine/smooth.py passive()
-        qdif = d.qpos - m.qpos_spring
-        spring = 0.0
-        for j in range(s.njnt):
-            if JointType(int(s.jnt_type[j])) in (JointType.HINGE, JointType.SLIDE):
-                qa = int(s.jnt_qposadr[j])
-                spring = spring + 0.5 * m.jnt_stiffness[j] * qdif[qa] ** 2
-        return pot + spring
+        from ambersim_tpu.engine import smooth as _smooth
+
+        return _smooth.energy_pos(m, d)
     if stype == SensorType.E_KINETIC:
-        return 0.5 * d.qvel @ (d.qM @ d.qvel)
+        from ambersim_tpu.engine import smooth as _smooth
+
+        return _smooth.energy_vel(m, d)
     if stype == SensorType.TOUCH:
         siteid = objid
         sbody = int(s.site_bodyid[siteid])

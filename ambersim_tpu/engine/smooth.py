@@ -421,23 +421,75 @@ def passive(m: Model, d: Data) -> Data:
         ten_frc = -m.tendon_stiffness * dif
         spring = spring + d.ten_J.T @ ten_frc
         damper = damper + d.ten_J.T @ (-m.tendon_damping * d.ten_velocity)
+    # mjDSBL_SPRING / mjDSBL_DAMPER zero their own term independently; when
+    # BOTH are set mj_passive returns early, so fluid drag and gravity
+    # compensation are skipped too (oracle-verified semantics). Static
+    # branches: XLA dead-code-eliminates the skipped computations.
+    df = m.opt.disableflags
+    if df & DisableBit.SPRING:
+        spring = jnp.zeros_like(spring)
+    if df & DisableBit.DAMPER:
+        damper = jnp.zeros_like(damper)
     qfrc_passive = spring + damper
-    if getattr(s, "has_fluid", False):
+    all_passive_off = (df & int(DisableBit.PASSIVE)) == int(DisableBit.PASSIVE)
+    if getattr(s, "has_fluid", False) and not all_passive_off:
         qfrc_passive = qfrc_passive + _fluid_force(m, d)
-    if getattr(s, "has_gravcomp", False):
+    if getattr(s, "has_gravcomp", False) and not all_passive_off:
         # gravity compensation: antigravity force gravcomp * m * (-g) at each
-        # body's COM (mj_passive semantics, oracle-pinned)
-        fw = -(m.body_gravcomp * m.body_mass)[:, None] * m.opt.gravity[None].astype(dtype)
+        # body's COM (mj_passive semantics, oracle-pinned); vanishes with
+        # gravity disabled since it compensates a force that isn't applied
+        gvec = jnp.where(df & DisableBit.GRAVITY, 0.0, 1.0) * m.opt.gravity
+        fw = -(m.body_gravcomp * m.body_mass)[:, None] * gvec[None].astype(dtype)
         root = d.subtree_com[s.body_rootid]
         ang_t = jnp.cross(d.xipos - root, fw)
         fspatial = jnp.concatenate([ang_t, fw], axis=-1)
         sup = jnp.asarray(_body_dof_support(s), dtype)
         qfrc_passive = qfrc_passive + jnp.einsum("bv,vi,bi->v", sup, d.cdof, fspatial)
-    if m.opt.disableflags & DisableBit.PASSIVE:
-        qfrc_passive = jnp.zeros_like(qfrc_passive)
-        spring = jnp.zeros_like(spring)
-        damper = jnp.zeros_like(damper)
     return d.replace(qfrc_spring=spring, qfrc_damper=damper, qfrc_passive=qfrc_passive)
+
+
+def energy_pos(m: Model, d: Data) -> jax.Array:
+    """Potential energy (mj_energyPos): gravity part (gated by mjDSBL_GRAVITY)
+    plus spring energy of joints and deadband tendons (gated by mjDSBL_SPRING).
+    Requires kinematics + tendon stages. Formulas oracle-verified (ball/free
+    rotational springs use the 0.5*k*|subQuat|^2 form matching passive())."""
+    s = m.skel
+    dtype = d.qpos.dtype
+    e = jnp.zeros((), dtype)
+    if not (m.opt.disableflags & DisableBit.GRAVITY):
+        g = jnp.asarray(m.opt.gravity, dtype)
+        e = e - jnp.sum(m.body_mass[:, None] * d.xipos * g[None])
+    if m.opt.disableflags & DisableBit.SPRING:
+        return e
+    sched = tree_schedule(s)
+    for jtype_int, jids in sched.jnt_by_type.items():
+        jtype = JointType(jtype_int)
+        qa = s.jnt_qposadr[jids]
+        k = m.jnt_stiffness[jids]
+        if jtype in (JointType.HINGE, JointType.SLIDE):
+            e = e + jnp.sum(0.5 * k * (d.qpos[qa] - m.qpos_spring[qa]) ** 2)
+        elif jtype == JointType.BALL:
+            dif = am.quat_sub(_take(d.qpos, qa, 4), _take(m.qpos_spring, qa, 4))
+            e = e + jnp.sum(0.5 * k * jnp.sum(dif**2, axis=-1))
+        else:  # FREE: translational + rotational parts
+            dt3 = _take(d.qpos, qa, 3) - _take(m.qpos_spring, qa, 3)
+            e = e + jnp.sum(0.5 * k * jnp.sum(dt3**2, axis=-1))
+            dif = am.quat_sub(_take(d.qpos, qa + 3, 4), _take(m.qpos_spring, qa + 3, 4))
+            e = e + jnp.sum(0.5 * k * jnp.sum(dif**2, axis=-1))
+    if s.ntendon:
+        lo, hi = m.tendon_lengthspring[:, 0], m.tendon_lengthspring[:, 1]
+        dif = jnp.where(d.ten_length < lo, d.ten_length - lo, 0.0) + jnp.where(
+            d.ten_length > hi, d.ten_length - hi, 0.0
+        )
+        e = e + jnp.sum(0.5 * m.tendon_stiffness * dif**2)
+    return e
+
+
+def energy_vel(m: Model, d: Data) -> jax.Array:
+    """Kinetic energy 0.5 * qvel' M qvel (mj_energyVel). Requires CRBA."""
+    if m.skel.nv == 0:
+        return jnp.zeros((), d.qpos.dtype)
+    return 0.5 * d.qvel @ (d.qM @ d.qvel)
 
 
 def _fluid_force(m: Model, d: Data) -> jax.Array:
@@ -634,8 +686,8 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
     if bodies:
         # adhesion (BODY) transmission: moment = -mean of the contact-normal
         # Jacobian rows over contacts involving the body, counting contacts
-        # within margin = includemargin + gap (MuJoCo includes gap-excluded
-        # contacts so adhesion can act at a distance).
+        # within includemargin (the full margin reach: MuJoCo 3.10 no longer
+        # subtracts gap, so adhesion-at-a-distance rides margin alone).
         from ambersim_tpu.engine import constraint as _con
 
         c = d.contact
@@ -653,7 +705,7 @@ def actuator_moment(m: Model, d: Data) -> jax.Array:
             gbody = jnp.asarray(s.geom_bodyid)
             gb1, gb2 = gbody[c.geom1], gbody[c.geom2]
         jn = _con._frame_rows(c.frame, _con._point_jac_rows(m, d, c.pos, signed_sup))[0]
-        within = c.dist < (c.includemargin + c.gap)
+        within = c.dist < c.includemargin
         for u, b in bodies:
             bmask = (gb1 == b) | (gb2 == b)
             mask = within & (jnp.asarray(bmask) if static_slots else bmask)

@@ -289,8 +289,10 @@ class HostStepper:
             b1, b2 = int(s.geom_bodyid[g1]), int(s.geom_bodyid[g2])
             invweight = float(model.body_invweight0[b1, 0]) + float(model.body_invweight0[b2, 0])
             pair_rows_int.append((g1, g2, int(s.pair_condim[p])))
+            # includemargin is the mixed/explicit margin; gap is dynamically
+            # inert (MuJoCo 3.10 semantics, matching engine/collision.py)
             pair_rows_real.append(
-                np.concatenate([friction, solref, solimp, [margin - gap, invweight]])
+                np.concatenate([friction, solref, solimp, [margin, invweight]])
             )
         npair = len(pair_rows_int)
         pair_int = np.asarray(pair_rows_int, np.int32).reshape(npair, 3)

@@ -38,8 +38,29 @@ def random_model_xml(seed, base_z=1.0):
         '<compiler angle="radian"/>',
         "<worldbody>",
     ]
+    def contact_attrs():
+        """Random contact-parameter mixing inputs (margin/gap/priority/solmix/
+        friction/solref) — the axes where mj_contactParam semantics live
+        (margins ADD in MuJoCo 3.10, gap is inert, priority overrides mixing)."""
+        a = ""
+        if rng.random() < 0.4:
+            margin = rng.uniform(0.0, 0.008)
+            a += f' margin="{margin:.4f}"'
+            if rng.random() < 0.5:
+                a += f' gap="{rng.uniform(0.0, margin):.4f}"'
+        if rng.random() < 0.3:
+            a += f' priority="{int(rng.integers(0, 2))}"'
+        if rng.random() < 0.3:
+            a += f' solmix="{rng.uniform(0.2, 4.0):.2f}"'
+        if rng.random() < 0.4:
+            f3 = rng.uniform([0.3, 0.001, 0.0], [1.5, 0.01, 0.0003])
+            a += f' friction="{f3[0]:.3f} {f3[1]:.4f} {f3[2]:.5f}"'
+        if rng.random() < 0.3:
+            a += f' solref="{rng.uniform(0.015, 0.04):.4f} {rng.uniform(0.9, 1.1):.2f}"'
+        return a
+
     if floor:
-        lines.append('<geom name="floor" type="plane" size="0 0 1"/>')
+        lines.append(f'<geom name="floor" type="plane" size="0 0 1"{contact_attrs()}/>')
     actuators = []
     depth = 0
     for b in range(nbody):
@@ -80,7 +101,7 @@ def random_model_xml(seed, base_z=1.0):
         else:
             s2 = rng.uniform(0.04, 0.1, 3)
             g = f'<geom type="box" size="{s2[0]:.3f} {s2[1]:.3f} {s2[2]:.3f}"'
-        g += f' density="{rng.uniform(300, 2000):.0f}"/>'
+        g += f' density="{rng.uniform(300, 2000):.0f}"{contact_attrs()}/>'
         lines.append(g)
     lines.extend(["</body>"] * depth)
     lines.append("</worldbody>")

@@ -6,6 +6,14 @@ into convex collision parts, the same pipeline that produced the committed
 plays for the reference's Barrett hand: ambersim/models/barrett_hand/bh280.xml:4-54).
 """
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import os
 import tempfile
 

@@ -7,6 +7,14 @@ the trajectory is printed; with mujoco + a display available, the passive
 viewer is used for rendering only.
 """
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import argparse
 import time
 

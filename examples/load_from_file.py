@@ -1,5 +1,13 @@
 """Model loading in three path styles (reference: examples/load_from_file.py)."""
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 from pathlib import Path
 
 from ambersim_tpu import ROOT

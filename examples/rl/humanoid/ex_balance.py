@@ -4,6 +4,14 @@ from randomized initial pose/velocity perturbations; the task's reward
 ceiling is ~alive_bonus + upright (~2.0 per control step, 1000 with
 episode_length=500) minus small shaping penalties."""
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import sys
 import time
 

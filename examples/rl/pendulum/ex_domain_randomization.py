@@ -9,6 +9,14 @@ batched arrays, plus an in_axes Model marking them with 0. One compilation
 covers the whole randomized population.
 """
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import functools
 
 import jax

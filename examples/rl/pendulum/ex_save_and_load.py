@@ -1,6 +1,14 @@
 """Custom-architecture PPO + pickle save/load + deterministic inference
 (reference: examples/rl/pendulum/ex_save_and_load.py:25-153)."""
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import functools
 import pickle
 import sys

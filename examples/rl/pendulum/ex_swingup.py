@@ -4,6 +4,14 @@ Mirrors the reference example examples/rl/pendulum/ex_swingup.py:25-92
 (same hyperparameter surface; viewer rollout replaced by a headless eval).
 """
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import functools
 import time
 

@@ -1,5 +1,13 @@
 """Quadruped locomotion PPO at 4096 envs (BASELINE.md config 4)."""
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import time
 
 from ambersim_tpu.rl.quadruped import QuadrupedLocomotionEnv

@@ -5,6 +5,14 @@ ambersim_tpu/rl/quadruped/terrain.py); feet, calves, and the trunk collide
 with the terrain triangles. Same training recipe as the flat-ground example.
 """
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import time
 
 from ambersim_tpu.rl.quadruped.terrain import QuadrupedTerrainConfig, QuadrupedTerrainEnv

@@ -10,6 +10,14 @@ while keeping the object in the palm channel.
 Run: PYTHONPATH=. python examples/trajopt/ex_hand_grasp.py
 """
 
+
+# Allow running from a source checkout without pip install.
+import os as _os, sys as _sys
+
+_d = _os.path.dirname(_os.path.abspath(__file__))
+while _d != "/" and not _os.path.isdir(_os.path.join(_d, "ambersim_tpu")):
+    _d = _os.path.dirname(_d)
+_sys.path.insert(0, _d)
 import time
 
 import jax

@@ -1,5 +1,6 @@
-"""Train pendulum swingup with each training stack — PPO, SAC, ES, APG —
-through the shared (make_policy, params, metrics) / progress_fn contract.
+"""Train pendulum swingup with each training stack — PPO, SAC, ES, ARS,
+APG — through the shared (make_policy, params, metrics) / progress_fn
+contract.
 
 The reference pins this contract for PPO (examples/rl/pendulum/
 ex_swingup.py:55-58); the other agents are the rest of the brax.training
@@ -22,7 +23,7 @@ import sys
 import time
 
 from ambersim_tpu.rl.pendulum import PendulumSwingupConfig, PendulumSwingupEnv
-from ambersim_tpu.rl import apg, es, ppo, sac
+from ambersim_tpu.rl import apg, ars, es, ppo, sac
 
 AGENTS = {
     "ppo": functools.partial(
@@ -64,6 +65,17 @@ AGENTS = {
         learning_rate=0.02,
         policy_updates=120,
         num_evals=5,
+    ),
+    "ars": functools.partial(
+        ars.train,
+        episode_length=200,
+        number_of_directions=64,
+        top_directions=16,
+        step_size=0.015,
+        exploration_noise_std=0.04,
+        policy_updates=120,
+        num_evals=5,
+        normalize_observations=True,
     ),
     "apg": functools.partial(
         apg.train,

@@ -1,8 +1,10 @@
-"""RL environment layer + PPO training stack.
+"""RL environment layer + training stacks (PPO, SAC, ES, ARS, APG).
 
 Covers the reference's ambersim/rl (env base, helpers, pendulum task) and the
-Brax dependencies it leans on (env registry/wrappers D5, PPO trainer D6,
-networks/distributions D7, running statistics D8, checkpoint I/O D9).
+Brax dependencies it leans on (env registry/wrappers D5, trainers D6,
+networks/distributions D7, running statistics D8, checkpoint I/O D9). All
+trainers share the (make_policy, params, metrics) / progress_fn contract the
+reference exercises at examples/rl/pendulum/ex_swingup.py:55-58.
 """
 
 from ambersim_tpu.rl.base import MjxEnv, State  # noqa: F401

@@ -71,6 +71,7 @@ def test_mpc_stabilizes_near_upright(model):
     assert final_err < open_err, (final_err, open_err)
 
 
+@pytest.mark.slow
 def test_mpc_batch_over_initial_states(model):
     ps = _sampler(model)
     x0s = jnp.array([[jnp.pi - 0.2, 0.0], [jnp.pi + 0.25, 0.3]])

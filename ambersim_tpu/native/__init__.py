@@ -4,11 +4,13 @@
 for the reference repo (interactive host simulation + an independent parity
 oracle; SURVEY.md D2). Built on demand with g++; no pybind11 required.
 
-Scope (stepper.cpp): trees of free/hinge/slide joints (one joint per moving
-body; jointless bodies are welded in here), joint limits, and plane-vs-
-sphere/box contacts with MuJoCo's soft constraint model, solved by the same
-primal Newton iteration as the JAX engine — so free-base contact scenes can
-be cross-checked against both the JAX engine and MuJoCo C.
+Scope (stepper.cpp): trees of free/ball/hinge/slide joints with any number of
+joints per moving body (jointless bodies are welded in here), joint limits
+(incl. ball rotation limits), dof friction loss, and plane-vs-
+sphere/capsule/box contacts with MuJoCo's soft constraint model, solved by
+the same primal Newton iteration as the JAX engine — so contact-rich
+flagship models (quadruped, humanoid) can be cross-checked against both the
+JAX engine and MuJoCo C.
 """
 
 from __future__ import annotations
@@ -49,12 +51,12 @@ def _load() -> ctypes.CDLL:
     lib = ctypes.CDLL(path)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int)
-    lib.ambersim_create2.restype = ctypes.c_int
-    lib.ambersim_create2.argtypes = (
+    lib.ambersim_create3.restype = ctypes.c_int
+    lib.ambersim_create3.argtypes = (
         [ctypes.c_int] * 7
-        + [dp, ip, dp]  # opt, parent, body_real
+        + [dp, ip, dp]  # opt, body_int, body_real
         + [ip, dp]  # jnt_int, jnt_real
-        + [dp, dp]  # dof_real, qpos0
+        + [dp, dp, dp]  # dof_real, qpos0, qpos_spring
         + [ip, dp]  # geom_int, geom_real
         + [ip, dp]  # pair_int, pair_real
         + [ip, dp]  # act_int, act_real
@@ -77,27 +79,30 @@ def _ip(a: np.ndarray):
 
 from ambersim_tpu.mjcf.parser import _np_mul_quat, _np_quat_to_mat  # noqa: E402
 
-_SUPPORTED_JNT = (0, 2, 3)  # free, slide, hinge
-_PLANE, _SPHERE, _BOX = 0, 2, 6
+_SUPPORTED_JNT = (0, 1, 2, 3)  # free, ball, slide, hinge
+_PLANE, _SPHERE, _CAPSULE, _BOX = 0, 2, 3, 6
+
+
+def _jnt_widths(jt: int):
+    """(qpos width, dof width) per joint type."""
+    return {0: (7, 6), 1: (4, 3), 2: (1, 1), 3: (1, 1)}[jt]
 
 
 class _ChainModel:
-    """Host-side reduction of a Model to a one-joint-per-body tree:
-    jointless bodies are welded into their parents (mass properties combined
-    via parallel-axis, geoms re-expressed in the parent frame), matching the
-    dynamics exactly."""
+    """Host-side reduction of a Model to a tree of jointed bodies: jointless
+    bodies are welded into their parents (mass properties combined via
+    parallel-axis, geoms re-expressed in the parent frame), matching the
+    dynamics exactly. Bodies may carry multiple joints (stacked hinges,
+    free/ball roots)."""
 
     def __init__(self, model):
         s = model.skel
         if any(int(t) not in _SUPPORTED_JNT for t in s.jnt_type):
-            raise NotImplementedError("HostStepper supports free/hinge/slide joints only")
+            raise NotImplementedError("HostStepper supports free/ball/hinge/slide joints only")
         if getattr(s, "ntendon", 0):
             raise NotImplementedError("HostStepper does not support tendons")
         if s.nu and (np.asarray(s.actuator_trntype) != 0).any():
             raise NotImplementedError("HostStepper supports joint transmissions only")
-        for b in range(1, s.nbody):
-            if int(s.body_jntnum[b]) > 1:
-                raise NotImplementedError("HostStepper requires at most one joint per body")
 
         f64 = lambda x: np.asarray(x, dtype=np.float64)  # noqa: E731
         parent = list(s.body_parentid)
@@ -107,8 +112,11 @@ class _ChainModel:
         ipos = [f64(model.body_ipos[b]) for b in range(s.nbody)]
         iquat = [f64(model.body_iquat[b]) for b in range(s.nbody)]
         idiag = [f64(model.body_inertia[b]) for b in range(s.nbody)]
-        jnt_of = [
-            int(s.body_jntadr[b]) if int(s.body_jntnum[b]) == 1 else -1 for b in range(s.nbody)
+        jnts_of = [
+            list(range(int(s.body_jntadr[b]), int(s.body_jntadr[b]) + int(s.body_jntnum[b])))
+            if int(s.body_jntnum[b]) > 0
+            else []
+            for b in range(s.nbody)
         ]
         alive = [True] * s.nbody
         # geoms ride along through welds
@@ -122,7 +130,7 @@ class _ChainModel:
 
         # weld jointless bodies into parents, deepest first (DFS order => reverse)
         for b in range(s.nbody - 1, 0, -1):
-            if jnt_of[b] >= 0:
+            if jnts_of[b]:
                 continue
             p = parent[b]
             rp = _np_quat_to_mat(quat[b])
@@ -163,10 +171,12 @@ class _ChainModel:
                     geom_body[g] = p
             alive[b] = False
 
-        # reindex surviving bodies
+        # reindex surviving bodies; flatten joints in reduced-body order
         newid = {}
         self.parent, self.pos, self.quat, self.mass = [], [], [], []
-        self.ipos, self.iquat, self.idiag, self.jnt = [], [], [], []
+        self.ipos, self.iquat, self.idiag = [], [], []
+        self.body_jntadr, self.body_jntnum = [], []
+        self.jnt_ids, self.jnt_body = [], []  # original joint id, reduced body id
         for b in range(s.nbody):
             if not alive[b]:
                 continue
@@ -178,10 +188,12 @@ class _ChainModel:
             self.ipos.append(ipos[b])
             self.iquat.append(iquat[b])
             self.idiag.append(idiag[b])
-            self.jnt.append(jnt_of[b])
+            self.body_jntadr.append(len(self.jnt_ids))
+            self.body_jntnum.append(len(jnts_of[b]))
+            for j in jnts_of[b]:
+                self.jnt_ids.append(j)
+                self.jnt_body.append(newid[b])
         self.parent[0] = 0
-        # joint j of reduced body i must be joint i-1 in reduced ordering
-        self.jnt_ids = [j for j in self.jnt[1:]]
         self.nbody = len(self.parent)
         self.geom_body = [newid[b] for b in geom_body]
         self.geom_pos = geom_pos
@@ -189,8 +201,8 @@ class _ChainModel:
 
 
 class HostStepper:
-    """C++ full-pipeline stepper for free/hinge/slide trees with plane
-    contacts and joint limits.
+    """C++ full-pipeline stepper for free/ball/hinge/slide trees with plane
+    contacts (sphere/capsule/box), dof friction loss, and joint limits.
 
     Built from an ambersim_tpu Model; set_state/get_state use the *original*
     model's qpos/qvel layout, so results compare directly against the JAX
@@ -204,7 +216,7 @@ class HostStepper:
 
         jids = chain.jnt_ids  # original joint id per reduced joint
         njnt = len(jids)
-        widths = [(7, 6) if int(s.jnt_type[j]) == 0 else (1, 1) for j in jids]
+        widths = [_jnt_widths(int(s.jnt_type[j])) for j in jids]
         qposadr, dofadr = [], []
         nq = nv = 0
         for wq, wv in widths:
@@ -224,31 +236,42 @@ class HostStepper:
         self.nq_orig = int(s.nq)
         self.nv_orig = int(s.nv)
 
-        jnt_int = np.zeros((njnt, 4), np.int32)
-        jnt_real = np.zeros((njnt, 18))
-        dof_real = np.zeros((nv, 3))
+        jnt_int = np.zeros((njnt, 5), np.int32)
+        jnt_real = np.zeros((njnt, 17))
+        dof_real = np.zeros((nv, 11))
         qpos0 = np.zeros(nq)
+        qpos_spring = np.zeros(nq)
         for r, j in enumerate(jids):
             jt = int(s.jnt_type[j])
-            jnt_int[r] = (jt, qposadr[r], dofadr[r], int(s.jnt_limited[j]) if jt != 0 else 0)
+            jnt_int[r] = (
+                jt,
+                chain.jnt_body[r],
+                qposadr[r],
+                dofadr[r],
+                int(s.jnt_limited[j]) if jt != 0 else 0,
+            )
             jnt_real[r, 0:3] = f64(model.jnt_pos[j])
             jnt_real[r, 3:6] = f64(model.jnt_axis[j])
+            jnt_real[r, 6] = float(model.jnt_stiffness[j])
             if jt != 0:
-                jnt_real[r, 6] = float(model.jnt_stiffness[j])
-                jnt_real[r, 7] = float(model.qpos_spring[int(s.jnt_qposadr[j])])
-                jnt_real[r, 8:10] = f64(model.jnt_range[j])
-            jnt_real[r, 10] = float(model.jnt_margin[j])
-            jnt_real[r, 11:13] = f64(model.jnt_solref[j])
-            jnt_real[r, 13:18] = f64(model.jnt_solimp[j])
+                jnt_real[r, 7:9] = f64(model.jnt_range[j])
+            jnt_real[r, 9] = float(model.jnt_margin[j])
+            jnt_real[r, 10:12] = f64(model.jnt_solref[j])
+            jnt_real[r, 12:17] = f64(model.jnt_solimp[j])
             wv = widths[r][1]
             src = int(s.jnt_dofadr[j])
             for k in range(wv):
                 dof_real[dofadr[r] + k, 0] = float(model.dof_damping[src + k])
                 dof_real[dofadr[r] + k, 1] = float(model.dof_armature[src + k])
                 dof_real[dofadr[r] + k, 2] = float(model.dof_invweight0[src + k])
+                dof_real[dofadr[r] + k, 3] = float(model.dof_frictionloss[src + k])
+                dof_real[dofadr[r] + k, 4:6] = f64(model.dof_solref[src + k])
+                dof_real[dofadr[r] + k, 6:11] = f64(model.dof_solimp[src + k])
             wq = widths[r][0]
-            qpos0[qposadr[r] : qposadr[r] + wq] = np.asarray(model.qpos0)[
-                int(s.jnt_qposadr[j]) : int(s.jnt_qposadr[j]) + wq
+            src_q = int(s.jnt_qposadr[j])
+            qpos0[qposadr[r] : qposadr[r] + wq] = np.asarray(model.qpos0)[src_q : src_q + wq]
+            qpos_spring[qposadr[r] : qposadr[r] + wq] = np.asarray(model.qpos_spring)[
+                src_q : src_q + wq
             ]
 
         # geoms (reduced body ids, weld-composed transforms)
@@ -267,10 +290,10 @@ class HostStepper:
         for p in range(s.npair):
             g1, g2 = int(s.pair_geom1[p]), int(s.pair_geom2[p])
             t1, t2 = int(s.geom_type[g1]), int(s.geom_type[g2])
-            if t1 != _PLANE or t2 not in (_SPHERE, _BOX):
+            if t1 != _PLANE or t2 not in (_SPHERE, _CAPSULE, _BOX):
                 raise NotImplementedError(
-                    f"HostStepper contact support is plane-vs-sphere/box; model has a "
-                    f"type-({t1},{t2}) pair"
+                    f"HostStepper contact support is plane-vs-sphere/capsule/box; model "
+                    f"has a type-({t1},{t2}) pair"
                 )
             exp = int(s.pair_explicit[p])
             if exp >= 0:
@@ -324,7 +347,15 @@ class HostStepper:
             ]
         )
 
-        got_nv = lib.ambersim_create2(
+        body_int = np.stack(
+            [
+                np.asarray(chain.parent, np.int32),
+                np.asarray(chain.body_jntadr, np.int32),
+                np.asarray(chain.body_jntnum, np.int32),
+            ],
+            axis=1,
+        )
+        got_nv = lib.ambersim_create3(
             int(chain.nbody),
             int(njnt),
             int(nq),
@@ -333,7 +364,7 @@ class HostStepper:
             int(s.ngeom),
             int(npair),
             _dp(opt),
-            _ip(np.asarray(chain.parent, np.int32)),
+            _ip(body_int),
             _dp(
                 np.concatenate(
                     [

@@ -1,20 +1,23 @@
 // Host-side C++ reference stepper: an independent implementation of the
 // full pipeline (FK -> CRBA -> RNEA -> actuation/passive -> plane contacts
-// + joint limits -> Newton constraint solve -> implicit-damping Euler) for
-// kinematic trees of free/hinge/slide joints.
+// + dof friction + joint limits -> Newton constraint solve ->
+// implicit-damping Euler) for kinematic trees of free/ball/hinge/slide
+// joints, any number of joints per body.
 //
 // Role: the parity oracle / interactive host stepper that MuJoCo's C engine
 // plays for the reference (reference: examples/interactive_simulation.py:57-71,
 // SURVEY.md D2). Exposed through a C ABI consumed via ctypes
 // (ambersim_tpu/native/__init__.py).
 //
-// Scope: one joint per moving body (free/hinge/slide; jointless bodies are
-// welded in by the Python wrapper), joint springs/dampers/armature, motor
-// actuators with ctrlrange clamping, hinge/slide limits, and plane-vs-
-// sphere/box contacts with MuJoCo's soft-constraint model (impedance
-// sigmoid + pyramidal friction cones), solved by the same primal Newton
-// iteration as the JAX engine (engine/solver.py) so all three engines can
-// be cross-checked on free-base contact scenes.
+// Scope: trees of free/ball/hinge/slide joints with multiple joints per
+// moving body (jointless bodies are welded in by the Python wrapper), joint
+// springs/dampers/armature, dof friction loss (Huber rows), motor actuators
+// with ctrlrange clamping, hinge/slide/ball limits, and plane-vs-
+// sphere/capsule/box contacts with MuJoCo's soft-constraint model
+// (impedance sigmoid + pyramidal friction cones), solved by the same primal
+// Newton iteration as the JAX engine (engine/solver.py) so all three
+// engines can be cross-checked on contact-rich flagship models (quadruped,
+// humanoid).
 
 #include <algorithm>
 #include <cmath>
@@ -69,6 +72,20 @@ inline Quat axis_angle(Vec3 axis, double angle) {
   return {std::cos(h), axis.x * s, axis.y * s, axis.z * s};
 }
 
+inline Quat conj(Quat q) { return {q.w, -q.x, -q.y, -q.z}; }
+
+// mju_subQuat: 3-vector v with qa = qb * exp(v/2) (local frame)
+inline Vec3 quat_sub(Quat qa, Quat qb) {
+  Quat dq = normalize(mul(conj(qb), qa));
+  if (dq.w < 0) dq = {-dq.w, -dq.x, -dq.y, -dq.z};  // shortest arc
+  double s2 = dq.x * dq.x + dq.y * dq.y + dq.z * dq.z;
+  if (s2 < 1e-24) return {2.0 * dq.x, 2.0 * dq.y, 2.0 * dq.z};
+  double sin_half = std::sqrt(s2);
+  double angle = 2.0 * std::atan2(sin_half, dq.w);
+  double s = angle / sin_half;
+  return {dq.x * s, dq.y * s, dq.z * s};
+}
+
 inline void quat_to_mat(Quat q, double R[9]) {
   double w = q.w, x = q.x, y = q.y, z = q.z;
   R[0] = 1 - 2 * (y * y + z * z); R[1] = 2 * (x * y - w * z); R[2] = 2 * (x * z + w * y);
@@ -91,7 +108,10 @@ inline Spatial crf(Spatial v, Spatial f) {
 }
 
 enum JntType { JNT_FREE = 0, JNT_BALL = 1, JNT_SLIDE = 2, JNT_HINGE = 3 };
-enum GeomKind { GEOM_PLANE = 0, GEOM_SPHERE = 2, GEOM_BOX = 6 };
+enum GeomKind { GEOM_PLANE = 0, GEOM_SPHERE = 2, GEOM_CAPSULE = 3, GEOM_BOX = 6 };
+
+inline int jnt_qwidth(int t) { return t == JNT_FREE ? 7 : (t == JNT_BALL ? 4 : 1); }
+inline int jnt_vwidth(int t) { return t == JNT_FREE ? 6 : (t == JNT_BALL ? 3 : 1); }
 
 struct Model {
   int nbody = 0, njnt = 0, nq = 0, nv = 0, nu = 0, ngeom = 0, npair = 0;
@@ -100,22 +120,25 @@ struct Model {
   double total_mass = 0.0;
   Vec3 gravity{0, 0, -9.81};
   // bodies
-  std::vector<int> parent;
+  std::vector<int> parent, body_jntadr, body_jntnum;
   std::vector<Vec3> body_pos, body_ipos;
   std::vector<Quat> body_quat, body_iquat;
   std::vector<double> mass;
   std::vector<Vec3> inertia;  // diagonal in inertial frame
-  // joints (joint j belongs to body j+1)
-  std::vector<int> jnt_type, jnt_qposadr, jnt_dofadr;
+  // joints (laid out in body order; body b owns joints
+  // [body_jntadr[b], body_jntadr[b]+body_jntnum[b]))
+  std::vector<int> jnt_type, jnt_body, jnt_qposadr, jnt_dofadr;
   std::vector<Vec3> jnt_pos, jnt_axis;
-  std::vector<double> jnt_stiffness, jnt_springref;
+  std::vector<double> jnt_stiffness;
   std::vector<int> jnt_limited;
   std::vector<double> jnt_lo, jnt_hi, jnt_margin;
   std::vector<double> jnt_solref, jnt_solimp;  // njnt*2, njnt*5
   // dofs
   std::vector<int> dof_body, dof_jnt;
   std::vector<double> damping, armature, dof_invweight0;
-  std::vector<double> qpos0;
+  std::vector<double> dof_frictionloss;
+  std::vector<double> dof_solref, dof_solimp;  // nv*2, nv*5
+  std::vector<double> qpos0, qpos_spring;
   // geoms
   std::vector<int> geom_type, geom_body;
   std::vector<Vec3> geom_pos;
@@ -135,6 +158,8 @@ struct Model {
 struct EfcRow {
   std::vector<double> J;  // nv
   double D = 0, aref = 0, pos = 0;
+  double fl = 0;          // frictionloss (friction rows only)
+  bool is_fric = false;   // Huber cost (dof friction) vs one-sided quadratic
   bool active = false;
 };
 
@@ -228,29 +253,38 @@ void fk(const Model& m, Data& d) {
     int p = m.parent[b];
     Vec3 pos = d.xpos[p] + rotate(m.body_pos[b], d.xquat[p]);
     Quat quat = mul(d.xquat[p], m.body_quat[b]);
-    int j = b - 1;  // one joint per moving body, aligned ids
-    int qa = m.jnt_qposadr[j];
-    if (m.jnt_type[j] == JNT_FREE) {
-      pos = {d.qpos[qa], d.qpos[qa + 1], d.qpos[qa + 2]};
-      quat = normalize({d.qpos[qa + 3], d.qpos[qa + 4], d.qpos[qa + 5], d.qpos[qa + 6]});
-      d.xanchor[j] = pos;
-      d.xaxis[j] = rotate(m.jnt_axis[j], quat);
-    } else if (m.jnt_type[j] == JNT_HINGE) {
-      double angle = d.qpos[qa] - m.qpos0[qa];
-      Vec3 anchor = pos + rotate(m.jnt_pos[j], quat);
-      quat = mul(quat, axis_angle(m.jnt_axis[j], angle));
-      pos = anchor - rotate(m.jnt_pos[j], quat);
-      d.xanchor[j] = anchor;
-      d.xaxis[j] = rotate(m.jnt_axis[j], quat);
-    } else {  // slide
-      Vec3 ax = rotate(m.jnt_axis[j], quat);
-      pos = pos + (d.qpos[qa] - m.qpos0[qa]) * ax;
-      d.xanchor[j] = pos + rotate(m.jnt_pos[j], quat);
-      d.xaxis[j] = ax;
+    for (int jj = 0; jj < m.body_jntnum[b]; ++jj) {
+      int j = m.body_jntadr[b] + jj;
+      int qa = m.jnt_qposadr[j];
+      if (m.jnt_type[j] == JNT_FREE) {
+        pos = {d.qpos[qa], d.qpos[qa + 1], d.qpos[qa + 2]};
+        quat = normalize({d.qpos[qa + 3], d.qpos[qa + 4], d.qpos[qa + 5], d.qpos[qa + 6]});
+        d.xanchor[j] = pos;
+        d.xaxis[j] = rotate(m.jnt_axis[j], quat);
+      } else if (m.jnt_type[j] == JNT_BALL) {
+        Quat qloc = normalize({d.qpos[qa], d.qpos[qa + 1], d.qpos[qa + 2], d.qpos[qa + 3]});
+        Vec3 anchor = pos + rotate(m.jnt_pos[j], quat);
+        quat = mul(quat, qloc);
+        pos = anchor - rotate(m.jnt_pos[j], quat);
+        d.xanchor[j] = anchor;
+        d.xaxis[j] = rotate(m.jnt_axis[j], quat);
+      } else if (m.jnt_type[j] == JNT_HINGE) {
+        double angle = d.qpos[qa] - m.qpos0[qa];
+        Vec3 anchor = pos + rotate(m.jnt_pos[j], quat);
+        quat = mul(quat, axis_angle(m.jnt_axis[j], angle));
+        pos = anchor - rotate(m.jnt_pos[j], quat);
+        d.xanchor[j] = anchor;
+        d.xaxis[j] = rotate(m.jnt_axis[j], quat);
+      } else {  // slide
+        Vec3 ax = rotate(m.jnt_axis[j], quat);
+        pos = pos + (d.qpos[qa] - m.qpos0[qa]) * ax;
+        d.xanchor[j] = pos + rotate(m.jnt_pos[j], quat);
+        d.xaxis[j] = ax;
+      }
     }
     d.xpos[b] = pos;
-    d.xquat[b] = quat;
-    d.xipos[b] = pos + rotate(m.body_ipos[b], quat);
+    d.xquat[b] = normalize(quat);
+    d.xipos[b] = d.xpos[b] + rotate(m.body_ipos[b], d.xquat[b]);
   }
   // geom poses
   d.gxpos.assign(m.ngeom, {});
@@ -279,21 +313,24 @@ void cdofs(const Model& m, Data& d, Vec3 com) {
   d.cdof.assign(m.nv, {});
   for (int j = 0; j < m.njnt; ++j) {
     int da = m.jnt_dofadr[j];
-    int b = j + 1;
+    int b = m.jnt_body[j];
     if (m.jnt_type[j] == JNT_HINGE) {
       d.cdof[da] = {d.xaxis[j], cross(d.xaxis[j], com - d.xanchor[j])};
     } else if (m.jnt_type[j] == JNT_SLIDE) {
       d.cdof[da] = {Vec3{}, d.xaxis[j]};
-    } else {  // free: 3 world translation axes + 3 body-frame rotation axes
-      d.cdof[da + 0] = {Vec3{}, Vec3{1, 0, 0}};
-      d.cdof[da + 1] = {Vec3{}, Vec3{0, 1, 0}};
-      d.cdof[da + 2] = {Vec3{}, Vec3{0, 0, 1}};
+    } else {  // free/ball: body-frame rotation axes (+3 world translations)
+      if (m.jnt_type[j] == JNT_FREE) {
+        d.cdof[da + 0] = {Vec3{}, Vec3{1, 0, 0}};
+        d.cdof[da + 1] = {Vec3{}, Vec3{0, 1, 0}};
+        d.cdof[da + 2] = {Vec3{}, Vec3{0, 0, 1}};
+        da += 3;
+      }
       double R[9];
       quat_to_mat(d.xquat[b], R);
       Vec3 anchor = d.xanchor[j];
       for (int k = 0; k < 3; ++k) {
         Vec3 ax{R[0 + k], R[3 + k], R[6 + k]};  // body axis k in world coords
-        d.cdof[da + 3 + k] = {ax, cross(ax, com - anchor)};
+        d.cdof[da + k] = {ax, cross(ax, com - anchor)};
       }
     }
   }
@@ -364,17 +401,22 @@ std::vector<double> rnea_bias(const Model& m, Data& d, const Inertias& in) {
   d.cdofdot.assign(nv, {});
   for (int b = 1; b < nb; ++b) {
     int p = m.parent[b];
-    int j = b - 1;
-    int da = m.jnt_dofadr[j];
     Spatial v = d.cvel[p];
-    if (m.jnt_type[j] == JNT_FREE) {
-      // translation dofs join the running velocity first (zero derivative)
-      for (int k = 0; k < 3; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
-      for (int k = 3; k < 6; ++k) d.cdofdot[da + k] = crm(v, d.cdof[da + k]);
-      for (int k = 3; k < 6; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
-    } else {
-      d.cdofdot[da] = crm(v, d.cdof[da]);
-      v = v + d.qvel[da] * d.cdof[da];
+    for (int jj = 0; jj < m.body_jntnum[b]; ++jj) {
+      int j = m.body_jntadr[b] + jj;
+      int da = m.jnt_dofadr[j];
+      if (m.jnt_type[j] == JNT_FREE) {
+        // translation dofs join the running velocity first (zero derivative)
+        for (int k = 0; k < 3; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
+        for (int k = 3; k < 6; ++k) d.cdofdot[da + k] = crm(v, d.cdof[da + k]);
+        for (int k = 3; k < 6; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
+      } else {
+        // hinge/slide/ball: all dofs of the joint differentiate against the
+        // running velocity BEFORE the joint's own dofs join (mj_comVel)
+        int w = jnt_vwidth(m.jnt_type[j]);
+        for (int k = 0; k < w; ++k) d.cdofdot[da + k] = crm(v, d.cdof[da + k]);
+        for (int k = 0; k < w; ++k) v = v + d.qvel[da + k] * d.cdof[da + k];
+      }
     }
     d.cvel[b] = v;
   }
@@ -383,11 +425,13 @@ std::vector<double> rnea_bias(const Model& m, Data& d, const Inertias& in) {
   acc[0] = {Vec3{}, {-m.gravity.x, -m.gravity.y, -m.gravity.z}};
   for (int b = 1; b < nb; ++b) {
     int p = m.parent[b];
-    int j = b - 1;
-    int da = m.jnt_dofadr[j];
-    int w = m.jnt_type[j] == JNT_FREE ? 6 : 1;
     Spatial a = acc[p];
-    for (int k = 0; k < w; ++k) a = a + d.qvel[da + k] * d.cdofdot[da + k];
+    for (int jj = 0; jj < m.body_jntnum[b]; ++jj) {
+      int j = m.body_jntadr[b] + jj;
+      int da = m.jnt_dofadr[j];
+      int w = jnt_vwidth(m.jnt_type[j]);
+      for (int k = 0; k < w; ++k) a = a + d.qvel[da + k] * d.cdofdot[da + k];
+    }
     acc[b] = a;
     Spatial Iv = apply_inertia(m, in, b, d.cvel[b]);
     frc[b] = apply_inertia(m, in, b, acc[b]) + crf(d.cvel[b], Iv);
@@ -427,6 +471,16 @@ void make_contact_rows(const Model& m, Data& d, Vec3 com) {
       double h = dot(d.gxpos[g2] - porg, n);
       double dist = h - r;
       cands.push_back({dist, d.gxpos[g2] - (r + 0.5 * dist) * n});
+    } else if (m.geom_type[g2] == GEOM_CAPSULE) {
+      // both segment endpoints (mirrors engine/collision.plane_capsule)
+      double r = m.geom_size[g2].x, hl = m.geom_size[g2].y;
+      const double* Rc = &d.gxmat[g2 * 9];
+      Vec3 axis{Rc[2], Rc[5], Rc[8]};  // capsule z axis
+      for (double sign : {1.0, -1.0}) {
+        Vec3 c = d.gxpos[g2] + (sign * hl) * axis;
+        double dist = dot(c - porg, n) - r;
+        cands.push_back({dist, c - (r + 0.5 * dist) * n});
+      }
     } else {  // box: 4 deepest corners
       const double* Rb = &d.gxmat[g2 * 9];
       Vec3 s = m.geom_size[g2];
@@ -503,28 +557,74 @@ void make_contact_rows(const Model& m, Data& d, Vec3 com) {
   }
 }
 
+void make_friction_rows(const Model& m, Data& d) {
+  int nv = m.nv;
+  for (int i = 0; i < nv; ++i) {
+    if (m.dof_frictionloss[i] <= 0) continue;
+    double k, b, imp;
+    kbi(m, &m.dof_solref[i * 2], &m.dof_solimp[i * 5], 0.0, &k, &b, &imp);
+    EfcRow row;
+    row.J.assign(nv, 0.0);
+    row.J[i] = 1.0;
+    row.pos = 0.0;
+    row.D = imp / std::max((1 - imp) * m.dof_invweight0[i], kMinVal);
+    row.aref = -b * d.qvel[i];
+    row.fl = m.dof_frictionloss[i];
+    row.is_fric = true;
+    row.active = true;
+    d.efc.push_back(row);
+  }
+}
+
 void make_limit_rows(const Model& m, Data& d) {
   int nv = m.nv;
   for (int j = 0; j < m.njnt; ++j) {
     if (!m.jnt_limited[j]) continue;
-    if (m.jnt_type[j] != JNT_HINGE && m.jnt_type[j] != JNT_SLIDE) continue;
+    if (m.jnt_type[j] == JNT_FREE) continue;
     int qa = m.jnt_qposadr[j], da = m.jnt_dofadr[j];
-    double q = d.qpos[qa];
-    double dist_lo = q - m.jnt_lo[j], dist_hi = m.jnt_hi[j] - q;
-    bool lower = dist_lo < dist_hi;
-    double dist = lower ? dist_lo : dist_hi;
-    double sign = lower ? 1.0 : -1.0;
     double margin = m.jnt_margin[j];
-    double pos = dist - margin;
     double k, b, imp;
-    kbi(m, &m.jnt_solref[j * 2], &m.jnt_solimp[j * 5], pos, &k, &b, &imp);
     EfcRow row;
     row.J.assign(nv, 0.0);
-    row.J[da] = sign;
-    row.pos = pos;
-    row.D = imp / std::max((1 - imp) * m.dof_invweight0[da], kMinVal);
-    row.aref = -b * sign * d.qvel[da] - k * imp * pos;
-    row.active = dist < margin;
+    if (m.jnt_type[j] == JNT_BALL) {
+      // one row on the total rotation angle (mj_instantiateLimit:
+      // dist = max(range) - |rotvec|, J = -axis); mirrors
+      // engine/constraint.py ball-limit rows
+      Quat q = normalize({d.qpos[qa], d.qpos[qa + 1], d.qpos[qa + 2], d.qpos[qa + 3]});
+      double sin_half = std::sqrt(q.x * q.x + q.y * q.y + q.z * q.z);
+      double angle = 2.0 * std::atan2(sin_half, q.w);
+      if (angle > M_PI) angle -= 2.0 * M_PI;
+      double sgn = angle >= 0 ? 1.0 : -1.0;
+      Vec3 axis{0, 0, 0};
+      if (sin_half > kMinVal)
+        axis = (sgn / sin_half) * Vec3{q.x, q.y, q.z};
+      double maxangle = std::max(m.jnt_lo[j], m.jnt_hi[j]);
+      double dist = maxangle - std::abs(angle);
+      double pos = dist - margin;
+      kbi(m, &m.jnt_solref[j * 2], &m.jnt_solimp[j * 5], pos, &k, &b, &imp);
+      row.J[da] = -axis.x;
+      row.J[da + 1] = -axis.y;
+      row.J[da + 2] = -axis.z;
+      double jqvel = row.J[da] * d.qvel[da] + row.J[da + 1] * d.qvel[da + 1] +
+                     row.J[da + 2] * d.qvel[da + 2];
+      row.pos = pos;
+      row.D = imp / std::max((1 - imp) * m.dof_invweight0[da], kMinVal);
+      row.aref = -b * jqvel - k * imp * pos;
+      row.active = dist < margin;
+    } else {
+      double q = d.qpos[qa];
+      double dist_lo = q - m.jnt_lo[j], dist_hi = m.jnt_hi[j] - q;
+      bool lower = dist_lo < dist_hi;
+      double dist = lower ? dist_lo : dist_hi;
+      double sign = lower ? 1.0 : -1.0;
+      double pos = dist - margin;
+      kbi(m, &m.jnt_solref[j * 2], &m.jnt_solimp[j * 5], pos, &k, &b, &imp);
+      row.J[da] = sign;
+      row.pos = pos;
+      row.D = imp / std::max((1 - imp) * m.dof_invweight0[da], kMinVal);
+      row.aref = -b * sign * d.qvel[da] - k * imp * pos;
+      row.active = dist < margin;
+    }
     d.efc.push_back(row);
   }
 }
@@ -547,6 +647,35 @@ void solve_constraints(const Model& m, Data& d, const std::vector<double>& qacc_
       jar[r] = v - d.efc[r].aref;
     }
   };
+  // per-row cost/force/quad-mask, matching engine/solver.py _row_costs_pure:
+  // friction rows are Huber (quadratic until |D*jar| = fl, then linear),
+  // limit/contact rows one-sided quadratic
+  auto row_cost = [&](int r, double jarr) -> double {
+    const EfcRow& e = d.efc[r];
+    if (!e.active) return 0.0;
+    if (e.is_fric) {
+      if (std::abs(e.D * jarr) > e.fl)
+        return e.fl * std::abs(jarr) - 0.5 * e.fl * e.fl / std::max(e.D, 1e-12);
+      return 0.5 * e.D * jarr * jarr;
+    }
+    return jarr < 0 ? 0.5 * e.D * jarr * jarr : 0.0;
+  };
+  auto row_force = [&](int r, double jarr) -> double {
+    const EfcRow& e = d.efc[r];
+    if (!e.active) return 0.0;
+    if (e.is_fric) {
+      if (std::abs(e.D * jarr) > e.fl) return -(jarr > 0 ? 1.0 : -1.0) * e.fl;
+      return -e.D * jarr;
+    }
+    return jarr < 0 ? -e.D * jarr : 0.0;
+  };
+  auto row_quad = [&](int r, double jarr) -> bool {
+    const EfcRow& e = d.efc[r];
+    if (!e.active) return false;
+    if (e.is_fric) return std::abs(e.D * jarr) <= e.fl;
+    return jarr < 0;
+  };
+
   auto cost_of = [&](const std::vector<double>& a, const std::vector<double>& jar) {
     double c = 0;
     std::vector<double> da(nv);
@@ -556,8 +685,7 @@ void solve_constraints(const Model& m, Data& d, const std::vector<double>& qacc_
       for (int k = 0; k < nv; ++k) mv += d.M[i * nv + k] * da[k];
       c += 0.5 * da[i] * mv;
     }
-    for (int r = 0; r < nefc; ++r)
-      if (d.efc[r].active && jar[r] < 0) c += 0.5 * d.efc[r].D * jar[r] * jar[r];
+    for (int r = 0; r < nefc; ++r) c += row_cost(r, jar[r]);
     return c;
   };
 
@@ -587,14 +715,14 @@ void solve_constraints(const Model& m, Data& d, const std::vector<double>& qacc_
       grad[i] = mv;
     }
     for (int r = 0; r < nefc; ++r) {
-      if (!(d.efc[r].active && jar[r] < 0)) continue;
-      double f = -d.efc[r].D * jar[r];
+      double f = row_force(r, jar[r]);
+      if (f == 0) continue;
       for (int i = 0; i < nv; ++i) grad[i] -= d.efc[r].J[i] * f;
     }
     // H = M + J^T diag(D * quad) J + 1e-8 I
     std::vector<double> H(d.M);
     for (int r = 0; r < nefc; ++r) {
-      if (!(d.efc[r].active && jar[r] < 0)) continue;
+      if (!row_quad(r, jar[r])) continue;
       double Dr = d.efc[r].D;
       for (int i = 0; i < nv; ++i) {
         if (d.efc[r].J[i] == 0) continue;
@@ -628,10 +756,8 @@ void solve_constraints(const Model& m, Data& d, const std::vector<double>& qacc_
       double g = pma + t * pmp, h = pmp;
       for (int r = 0; r < nefc; ++r) {
         double jart = jar[r] + t * jp[r];
-        if (d.efc[r].active && jart < 0) {
-          g += d.efc[r].D * jart * jp[r];
-          h += d.efc[r].D * jp[r] * jp[r];
-        }
+        g -= row_force(r, jart) * jp[r];
+        if (row_quad(r, jart)) h += d.efc[r].D * jp[r] * jp[r];
       }
       t -= g / std::max(h, 1e-12);
     }
@@ -651,8 +777,8 @@ void solve_constraints(const Model& m, Data& d, const std::vector<double>& qacc_
   }
 
   for (int r = 0; r < nefc; ++r) {
-    if (!(d.efc[r].active && jar[r] < 0)) continue;
-    double f = -d.efc[r].D * jar[r];
+    double f = row_force(r, jar[r]);
+    if (f == 0) continue;
     for (int i = 0; i < nv; ++i) qfrc_constraint[i] += d.efc[r].J[i] * f;
   }
   d.qacc_warmstart = qacc;
@@ -667,12 +793,34 @@ void step(const Model& m, Data& d) {
   crba(m, d, in);
   std::vector<double> bias = rnea_bias(m, d, in);
 
-  // passive + actuation
+  // passive + actuation (springs reference qpos_spring; ball/free rotational
+  // springs use the quaternion-difference form matching engine/smooth.passive)
   std::vector<double> qfrc(nv, 0.0);
   for (int j = 0; j < m.njnt; ++j) {
-    if (m.jnt_type[j] == JNT_FREE) continue;
     int qa = m.jnt_qposadr[j], da = m.jnt_dofadr[j];
-    qfrc[da] += -m.jnt_stiffness[j] * (d.qpos[qa] - m.jnt_springref[j]);
+    double k = m.jnt_stiffness[j];
+    if (k == 0) continue;
+    if (m.jnt_type[j] == JNT_HINGE || m.jnt_type[j] == JNT_SLIDE) {
+      qfrc[da] += -k * (d.qpos[qa] - m.qpos_spring[qa]);
+    } else if (m.jnt_type[j] == JNT_BALL) {
+      Quat q{d.qpos[qa], d.qpos[qa + 1], d.qpos[qa + 2], d.qpos[qa + 3]};
+      Quat qs{m.qpos_spring[qa], m.qpos_spring[qa + 1], m.qpos_spring[qa + 2],
+              m.qpos_spring[qa + 3]};
+      Vec3 dif = quat_sub(q, qs);
+      qfrc[da] += -k * dif.x;
+      qfrc[da + 1] += -k * dif.y;
+      qfrc[da + 2] += -k * dif.z;
+    } else {  // FREE: translational + rotational parts
+      for (int kk = 0; kk < 3; ++kk)
+        qfrc[da + kk] += -k * (d.qpos[qa + kk] - m.qpos_spring[qa + kk]);
+      Quat q{d.qpos[qa + 3], d.qpos[qa + 4], d.qpos[qa + 5], d.qpos[qa + 6]};
+      Quat qs{m.qpos_spring[qa + 3], m.qpos_spring[qa + 4], m.qpos_spring[qa + 5],
+              m.qpos_spring[qa + 6]};
+      Vec3 dif = quat_sub(q, qs);
+      qfrc[da + 3] += -k * dif.x;
+      qfrc[da + 4] += -k * dif.y;
+      qfrc[da + 5] += -k * dif.z;
+    }
   }
   for (int i = 0; i < nv; ++i) qfrc[i] += -m.damping[i] * d.qvel[i] - bias[i];
   for (int u = 0; u < m.nu; ++u) {
@@ -685,8 +833,9 @@ void step(const Model& m, Data& d) {
   std::vector<double> qacc_smooth(qfrc);
   factor_solve(nv, d.M, qacc_smooth);
 
-  // constraints
+  // constraints (MuJoCo row order: friction, limits, contacts)
   d.efc.clear();
+  make_friction_rows(m, d);
   make_limit_rows(m, d);
   make_contact_rows(m, d, com);
   std::vector<double> qacc, qfrc_constraint;
@@ -710,22 +859,27 @@ void step(const Model& m, Data& d) {
     for (int i = 0; i < nv; ++i) d.qvel[i] += h * qacc[i];
   }
 
-  // position integration (quaternion expmap for free joints)
+  // position integration (quaternion expmap for free/ball joints)
   for (int j = 0; j < m.njnt; ++j) {
     int qa = m.jnt_qposadr[j], da = m.jnt_dofadr[j];
-    if (m.jnt_type[j] == JNT_FREE) {
-      for (int k = 0; k < 3; ++k) d.qpos[qa + k] += h * d.qvel[da + k];
-      Vec3 w{d.qvel[da + 3], d.qvel[da + 4], d.qvel[da + 5]};
+    if (m.jnt_type[j] == JNT_FREE || m.jnt_type[j] == JNT_BALL) {
+      int qr = qa, dr = da;
+      if (m.jnt_type[j] == JNT_FREE) {
+        for (int k = 0; k < 3; ++k) d.qpos[qa + k] += h * d.qvel[da + k];
+        qr = qa + 3;
+        dr = da + 3;
+      }
+      Vec3 w{d.qvel[dr], d.qvel[dr + 1], d.qvel[dr + 2]};
       double wn = std::sqrt(dot(w, w));
-      Quat q{d.qpos[qa + 3], d.qpos[qa + 4], d.qpos[qa + 5], d.qpos[qa + 6]};
+      Quat q{d.qpos[qr], d.qpos[qr + 1], d.qpos[qr + 2], d.qpos[qr + 3]};
       if (wn > 1e-14) {
         Quat dq = axis_angle((1.0 / wn) * w, wn * h);
         q = normalize(mul(q, dq));
       }
-      d.qpos[qa + 3] = q.w;
-      d.qpos[qa + 4] = q.x;
-      d.qpos[qa + 5] = q.y;
-      d.qpos[qa + 6] = q.z;
+      d.qpos[qr] = q.w;
+      d.qpos[qr + 1] = q.x;
+      d.qpos[qr + 2] = q.y;
+      d.qpos[qr + 3] = q.z;
     } else {
       d.qpos[qa] += h * d.qvel[da];
     }
@@ -739,18 +893,20 @@ Data* g_data = nullptr;
 
 extern "C" {
 
-// v2 ABI: packed arrays; see ambersim_tpu/native/__init__.py for the layout.
-int ambersim_create2(int nbody, int njnt, int nq, int nv, int nu, int ngeom, int npair,
+// v3 ABI: packed arrays; see ambersim_tpu/native/__init__.py for the layout.
+int ambersim_create3(int nbody, int njnt, int nq, int nv, int nu, int ngeom, int npair,
                      const double* opt,        // [timestep, gx, gy, gz, impratio,
                                                //  tolerance, iterations, ls_iterations,
                                                //  total_mass]
-                     const int* parent,        // nbody
+                     const int* body_int,      // nbody x 3: parent jntadr jntnum
                      const double* body_real,  // nbody x 18: pos3 quat4 ipos3 iquat4 mass1 inertia3
-                     const int* jnt_int,       // njnt x 4: type qposadr dofadr limited
-                     const double* jnt_real,   // njnt x 18: pos3 axis3 stiffness springref lo hi
+                     const int* jnt_int,       // njnt x 5: type bodyid qposadr dofadr limited
+                     const double* jnt_real,   // njnt x 17: pos3 axis3 stiffness lo hi
                                                //            margin solref2 solimp5
-                     const double* dof_real,   // nv x 3: damping armature invweight0
+                     const double* dof_real,   // nv x 11: damping armature invweight0
+                                               //          frictionloss solref2 solimp5
                      const double* qpos0,      // nq
+                     const double* qpos_spring, // nq
                      const int* geom_int,      // ngeom x 2: type bodyid
                      const double* geom_real,  // ngeom x 10: pos3 quat4 size3
                      const int* pair_int,      // npair x 3: g1 g2 condim
@@ -776,8 +932,10 @@ int ambersim_create2(int nbody, int njnt, int nq, int nv, int nu, int ngeom, int
   m.iterations = (int)opt[6];
   m.ls_iterations = (int)opt[7];
   m.total_mass = opt[8];
-  m.parent.assign(parent, parent + nbody);
   for (int b = 0; b < nbody; ++b) {
+    m.parent.push_back(body_int[3 * b]);
+    m.body_jntadr.push_back(body_int[3 * b + 1]);
+    m.body_jntnum.push_back(body_int[3 * b + 2]);
     const double* r = body_real + 18 * b;
     m.body_pos.push_back({r[0], r[1], r[2]});
     m.body_quat.push_back({r[3], r[4], r[5], r[6]});
@@ -789,33 +947,40 @@ int ambersim_create2(int nbody, int njnt, int nq, int nv, int nu, int ngeom, int
   m.jnt_solref.assign(njnt * 2, 0.0);
   m.jnt_solimp.assign(njnt * 5, 0.0);
   for (int j = 0; j < njnt; ++j) {
-    const int* ji = jnt_int + 4 * j;
-    const double* jr = jnt_real + 18 * j;
+    const int* ji = jnt_int + 5 * j;
+    const double* jr = jnt_real + 17 * j;
     m.jnt_type.push_back(ji[0]);
-    m.jnt_qposadr.push_back(ji[1]);
-    m.jnt_dofadr.push_back(ji[2]);
-    m.jnt_limited.push_back(ji[3]);
+    m.jnt_body.push_back(ji[1]);
+    m.jnt_qposadr.push_back(ji[2]);
+    m.jnt_dofadr.push_back(ji[3]);
+    m.jnt_limited.push_back(ji[4]);
     m.jnt_pos.push_back({jr[0], jr[1], jr[2]});
     m.jnt_axis.push_back({jr[3], jr[4], jr[5]});
     m.jnt_stiffness.push_back(jr[6]);
-    m.jnt_springref.push_back(jr[7]);
-    m.jnt_lo.push_back(jr[8]);
-    m.jnt_hi.push_back(jr[9]);
-    m.jnt_margin.push_back(jr[10]);
-    for (int k = 0; k < 2; ++k) m.jnt_solref[j * 2 + k] = jr[11 + k];
-    for (int k = 0; k < 5; ++k) m.jnt_solimp[j * 5 + k] = jr[13 + k];
-    int w = ji[0] == JNT_FREE ? 6 : 1;
+    m.jnt_lo.push_back(jr[7]);
+    m.jnt_hi.push_back(jr[8]);
+    m.jnt_margin.push_back(jr[9]);
+    for (int k = 0; k < 2; ++k) m.jnt_solref[j * 2 + k] = jr[10 + k];
+    for (int k = 0; k < 5; ++k) m.jnt_solimp[j * 5 + k] = jr[12 + k];
+    int w = jnt_vwidth(ji[0]);
     for (int k = 0; k < w; ++k) {
-      m.dof_body.push_back(j + 1);
+      m.dof_body.push_back(ji[1]);
       m.dof_jnt.push_back(j);
     }
   }
+  m.dof_solref.assign(nv * 2, 0.0);
+  m.dof_solimp.assign(nv * 5, 0.0);
   for (int i = 0; i < nv; ++i) {
-    m.damping.push_back(dof_real[3 * i]);
-    m.armature.push_back(dof_real[3 * i + 1]);
-    m.dof_invweight0.push_back(dof_real[3 * i + 2]);
+    const double* r = dof_real + 11 * i;
+    m.damping.push_back(r[0]);
+    m.armature.push_back(r[1]);
+    m.dof_invweight0.push_back(r[2]);
+    m.dof_frictionloss.push_back(r[3]);
+    for (int k = 0; k < 2; ++k) m.dof_solref[i * 2 + k] = r[4 + k];
+    for (int k = 0; k < 5; ++k) m.dof_solimp[i * 5 + k] = r[6 + k];
   }
   m.qpos0.assign(qpos0, qpos0 + nq);
+  m.qpos_spring.assign(qpos_spring, qpos_spring + nq);
   for (int g = 0; g < ngeom; ++g) {
     m.geom_type.push_back(geom_int[2 * g]);
     m.geom_body.push_back(geom_int[2 * g + 1]);

@@ -28,7 +28,7 @@ from ambersim_tpu.learning.architectures import MLP
 from ambersim_tpu.rl import wrappers
 from ambersim_tpu.rl.base import MjxEnv
 from ambersim_tpu.rl.ppo import running_statistics
-from ambersim_tpu.rl.ppo.distributions import NormalTanhDistribution
+from ambersim_tpu.rl.ppo.distributions import DeterministicTanhDistribution, NormalTanhDistribution
 from ambersim_tpu.rl.ppo.networks import (
     FeedForwardNetwork,
     PPONetworks,
@@ -57,6 +57,29 @@ def make_apg_networks(
     the pickled-wrapper save/load flow apply unchanged; the value network is
     unused by APG)."""
     dist = NormalTanhDistribution(event_size=action_size)
+    policy_module = MLP(
+        layer_sizes=list(hidden_layer_sizes) + [dist.param_size], activation=activation
+    )
+    policy_network = make_network(policy_module, observation_size, preprocess_observations_fn)
+    value_network = FeedForwardNetwork(init=lambda key: {}, apply=lambda pp, p, obs: jnp.zeros(obs.shape[:-1]))
+    return PPONetworks(
+        policy_network=policy_network,
+        value_network=value_network,
+        parametric_action_distribution=dist,
+    )
+
+
+def make_deterministic_networks(
+    observation_size: int,
+    action_size: int,
+    preprocess_observations_fn=identity_observation_preprocessor,
+    hidden_layer_sizes: Sequence[int] = (32,) * 4,
+    activation=jax.nn.swish,
+) -> PPONetworks:
+    """Policy-only bundle with a deterministic tanh head (param_size ==
+    action_size). Default for ES/ARS, which roll out with dist.mode: every
+    perturbed parameter affects fitness (no dead log-std columns)."""
+    dist = DeterministicTanhDistribution(event_size=action_size)
     policy_module = MLP(
         layer_sizes=list(hidden_layer_sizes) + [dist.param_size], activation=activation
     )

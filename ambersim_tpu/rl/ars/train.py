@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ambersim_tpu.rl import wrappers
 from ambersim_tpu.rl.base import MjxEnv
-from ambersim_tpu.rl.apg.train import make_apg_networks
+from ambersim_tpu.rl.apg.train import make_deterministic_networks
 from ambersim_tpu.rl.ppo import running_statistics
 from ambersim_tpu.rl.ppo.networks import identity_observation_preprocessor, make_inference_fn
 
@@ -51,7 +51,7 @@ def train(
     seed: int = 0,
     num_evals: int = 1,
     normalize_observations: bool = True,
-    network_factory: Callable = make_apg_networks,
+    network_factory: Callable = make_deterministic_networks,
     progress_fn: Callable[[int, Dict[str, Any]], None] = lambda *args: None,
     mesh: Optional[Mesh] = None,
     checkpoint_path: Optional[str] = None,
@@ -108,22 +108,24 @@ def train(
         state = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), state)
 
         def step(carry, _):
-            state, active, total = carry
+            state, active, total, raw = carry
             logits = jax.vmap(
                 lambda p, o: ars_network.policy_network.apply(normalizer_params, p, o)
             )(pop_params, state.obs)
             state = env.step(state, dist.mode(logits))
             total = total + (state.reward - reward_shift) * active
+            raw = raw + state.reward * active
             active = active * (1 - state.done)
-            return (state, active, total), state.obs
+            return (state, active, total, raw), state.obs
 
-        (_, _, total), obs = jax.lax.scan(
+        zeros = jnp.zeros(num_candidates)
+        (_, _, total, raw), obs = jax.lax.scan(
             step,
-            (state, jnp.ones(num_candidates), jnp.zeros(num_candidates)),
+            (state, jnp.ones(num_candidates), zeros, zeros),
             None,
             length=episode_length // action_repeat,
         )
-        return total, obs
+        return total, raw, obs
 
     def training_step(carry, _):
         training_state, key = carry
@@ -146,7 +148,9 @@ def train(
             training_state.policy_params,
             deltas,
         )
-        returns, obs = rollout_returns(pop_params, training_state.normalizer_params, key_roll)
+        returns, raw_returns, obs = rollout_returns(
+            pop_params, training_state.normalizer_params, key_roll
+        )
         r_plus, r_minus = returns[:number_of_directions], returns[number_of_directions:]
 
         # V2-t selection: keep the top_directions pairs by max(r+, r-)
@@ -172,9 +176,15 @@ def train(
             normalizer_params=normalizer_params,
             train_iters=training_state.train_iters + 1,
         )
+        # Fitness metrics report RAW episode returns (reward_shift is a
+        # search-shaping device, not part of the task reward); fitness_top is
+        # the raw return of the shift-adjusted top pairs actually kept.
+        raw_scores = jnp.maximum(
+            raw_returns[:number_of_directions], raw_returns[number_of_directions:]
+        )
         metrics = {
-            "fitness_mean": jnp.mean(returns),
-            "fitness_top": jnp.mean(scores[top_idx]),
+            "fitness_mean": jnp.mean(raw_returns),
+            "fitness_top": jnp.mean(raw_scores[top_idx]),
             "reward_std": reward_std,
         }
         return (training_state, key), metrics

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ambersim_tpu.rl import wrappers
 from ambersim_tpu.rl.base import MjxEnv
-from ambersim_tpu.rl.apg.train import make_apg_networks
+from ambersim_tpu.rl.apg.train import make_deterministic_networks
 from ambersim_tpu.rl.ppo import running_statistics
 from ambersim_tpu.rl.ppo.networks import identity_observation_preprocessor, make_inference_fn
 
@@ -56,7 +56,7 @@ def train(
     seed: int = 0,
     num_evals: int = 1,
     normalize_observations: bool = False,
-    network_factory: Callable = make_apg_networks,
+    network_factory: Callable = make_deterministic_networks,
     progress_fn: Callable[[int, Dict[str, Any]], None] = lambda *args: None,
     mesh: Optional[Mesh] = None,
     checkpoint_path: Optional[str] = None,

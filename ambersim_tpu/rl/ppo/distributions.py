@@ -58,6 +58,35 @@ class ParametricDistribution(abc.ABC):
         return self.postprocess(self.sample_no_postprocessing(parameters, seed))
 
 
+class DeterministicTanhDistribution(ParametricDistribution):
+    """tanh(loc) with no noise head: param_size == event_size.
+
+    For derivative-free trainers (ES/ARS) that roll out with dist.mode, a
+    Gaussian head wastes half the perturbation dimensions — the log-std
+    columns can never affect fitness and only dilute the search. This head
+    makes every perturbed parameter influence the rollout."""
+
+    def __init__(self, event_size: int):
+        super().__init__(param_size=event_size, event_size=event_size)
+
+    def sample_no_postprocessing(self, parameters, seed):
+        return parameters
+
+    def mode(self, parameters):
+        return jnp.tanh(parameters)
+
+    def postprocess(self, raw_actions):
+        return jnp.tanh(raw_actions)
+
+    def log_prob(self, parameters, raw_actions):
+        # Degenerate (point-mass) distribution: log-density is not defined;
+        # zeros keep the inference-fn contract without implying a measure.
+        return jnp.zeros(parameters.shape[:-1])
+
+    def entropy(self, parameters, seed):
+        return jnp.zeros(parameters.shape[:-1])
+
+
 class NormalTanhDistribution(ParametricDistribution):
     """tanh(Normal(mean, std)) with softplus std floor."""
 

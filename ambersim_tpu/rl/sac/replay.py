@@ -38,6 +38,11 @@ def insert(state: ReplayBufferState, batch: Any) -> ReplayBufferState:
     """Insert a batch (leading axis = n items), overwriting oldest entries."""
     capacity = jax.tree.leaves(state.data)[0].shape[0]
     n = jax.tree.leaves(batch)[0].shape[0]
+    # A batch larger than capacity would wrap the scatter indices, making
+    # which duplicate wins unspecified while size/insert_position advance as
+    # if all items landed. Both are static, so reject it at trace time.
+    if n > capacity:
+        raise ValueError(f"replay.insert: batch of {n} exceeds buffer capacity {capacity}")
     idx = (state.insert_position + jnp.arange(n, dtype=jnp.int32)) % capacity
     data = jax.tree.map(lambda buf, x: buf.at[idx].set(x), state.data, batch)
     return ReplayBufferState(

@@ -47,6 +47,21 @@ def _sampler(model):
     return VanillaPredictiveSampler(model=model, cost_function=cost, nsamples=64, stdev=0.3)
 
 
+def test_mpc_smoke(model):
+    """Fast shape/consistency check on the scanned MPC driver."""
+    ps = _sampler(model)
+    x0 = jnp.array([jnp.pi - 0.3, 0.0])
+    params = VanillaPredictiveSamplerParams(
+        x0=x0, us_guess=jnp.zeros((6, 1)), rng=jax.random.PRNGKey(0)
+    )
+    n_steps = 4
+    xs, us, data_final = jax.jit(lambda p: run_mpc(model, ps, p, n_steps))(params)
+    assert xs.shape == (n_steps + 1, 2) and us.shape == (n_steps, 1)
+    # consistency: Data carries the same final state
+    np.testing.assert_allclose(np.asarray(data_final.qpos), np.asarray(xs[-1, :1]), rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_mpc_stabilizes_near_upright(model):
     """Start slightly off upright: MPC holds the pendulum near the goal while
     the same tape run open loop (no re-solving) drifts off and falls."""
@@ -64,9 +79,11 @@ def test_mpc_stabilizes_near_upright(model):
     np.testing.assert_allclose(np.asarray(data_final.qpos), np.asarray(xs[-1, :1]), rtol=1e-6)
     assert final_err < 0.2, f"MPC failed to stabilize: final angle err {final_err}"
 
-    # open loop: one solve from x0, tape replayed blindly
+    # open loop: one solve from x0, then the solved tape replayed blindly for
+    # all n_steps (padded past the horizon by holding its last knot).
     _, us_open = ps.optimize(params)
-    xs_open = shoot(model, x0, jnp.tile(us_open[:1], (n_steps, 1)))
+    pad = jnp.tile(us_open[-1:], (n_steps - us_open.shape[0], 1))
+    xs_open = shoot(model, x0, jnp.concatenate([us_open, pad], axis=0))
     open_err = float(jnp.abs(xs_open[-1, 0] - jnp.pi))
     assert final_err < open_err, (final_err, open_err)
 

@@ -55,6 +55,50 @@ def convex_hull(verts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return hverts, hfaces
 
 
+def decimate_hull(hverts: np.ndarray, max_verts: int) -> np.ndarray:
+    """Subset of <= max_verts hull vertices approximating the hull well.
+
+    Compile-time vertex budget for the SAT narrowphase (the role MJX's
+    maxhullvert cap plays in the convex pipeline cited at reference
+    ambersim/utils/io_utils.py:230-233): SAT axis count grows O(E1*E2) and
+    support evaluation O(A*V), so unbounded scanned-mesh hulls would cliff.
+
+    Greedy incremental refinement: seed with the 6 axis-extreme points, then
+    repeatedly add the input vertex farthest OUTSIDE the current sub-hull
+    (max plane violation over Qhull facet equations). Each step maximally
+    reduces the worst Hausdorff error, so the budgeted hull hugs the true
+    hull tightly; exact when len(hverts) <= max_verts (returned unchanged).
+    """
+    n = len(hverts)
+    if n <= max_verts:
+        return hverts
+    if max_verts < 4:
+        raise ValueError(f"maxhullvert must be >= 4, got {max_verts}")
+    selected: List[int] = []
+    for axis in range(3):
+        for pick in (np.argmin, np.argmax):
+            i = int(pick(hverts[:, axis]))
+            if i not in selected:
+                selected.append(i)
+    # degenerate seeds (coplanar extremes) are fixed by the greedy loop's
+    # QJ-jittered hull below
+    while len(selected) < max_verts:
+        try:
+            sub = ConvexHull(hverts[selected])
+            eqs = sub.equations  # (nf, 4): n.x + d <= 0 inside
+        except Exception:
+            sub = ConvexHull(hverts[selected], qhull_options="QJ")
+            eqs = sub.equations
+        # violation of each candidate vs the sub-hull
+        viol = (hverts @ eqs[:, :3].T + eqs[None, :, 3]).max(axis=1)
+        viol[selected] = -np.inf
+        j = int(np.argmax(viol))
+        if viol[j] <= 1e-12:
+            break  # sub-hull already contains every input vertex
+        selected.append(j)
+    return hverts[np.asarray(selected)]
+
+
 def connected_components(verts: np.ndarray, faces: np.ndarray) -> List[np.ndarray]:
     """Face index groups of topologically connected submeshes."""
     parent = np.arange(len(verts))

@@ -382,6 +382,7 @@ class HostStepper:
             _dp(jnt_real),
             _dp(dof_real),
             _dp(qpos0),
+            _dp(qpos_spring),
             _ip(geom_int),
             _dp(geom_real),
             _ip(pair_int),

@@ -68,6 +68,12 @@ def main():
     m = load_model_from_file("models/objects/drop_scene.xml")
     emit("drop_scene_2048env", _time_rollout(m, _batch(m, 2048), 150))
 
+    # rung 3a: dense-mesh rock drop — a 320-vert scanned-rock hull budgeted
+    # to 64 verts at compile (maxhullvert), so SAT narrowphase cost on dense
+    # meshes is measured, not just untested (VERDICT r2 #3)
+    m = load_model_from_file("models/rock/rock_scene.xml")
+    emit("rock_drop_2048env", _time_rollout(m, _batch(m, 2048), 150))
+
     # rung 3b: 32-object clutter (496 object-object candidate pairs) with
     # top-k broadphase vs exact all-pairs — the sublinear-stepping claim
     # (tests/test_broadphase.py pins correctness; this pins wall-clock)

@@ -59,8 +59,10 @@ def timed_rollout(m: Model, batch: Data, stage: str, kp=60.0, kd=2.0) -> float:
     nu = m.nu
 
     def one(dd: Data) -> Data:
-        ctrl = kp * (jnp.zeros(nu) - dd.qpos[7:]) - kd * dd.qvel[6:]
-        return step_upto(m, dd.replace(ctrl=ctrl), stage)
+        if nu and m.skel.nv == nu + 6:
+            ctrl = kp * (jnp.zeros(nu) - dd.qpos[7:]) - kd * dd.qvel[6:]
+            dd = dd.replace(ctrl=ctrl)
+        return step_upto(m, dd, stage)
 
     stepper = jax.vmap(one)
 
@@ -85,13 +87,19 @@ def timed_rollout(m: Model, batch: Data, stage: str, kp=60.0, kd=2.0) -> float:
 
 
 def main():
-    model = load_model_from_file("models/quadruped/quadruped.xml")
+    path = os.environ.get("BENCH_MODEL", "models/quadruped/quadruped.xml")
+    cap = os.environ.get("BENCH_BROADPHASE_CAP")
+    kwargs = {"broadphase_cap": int(cap)} if cap else {}
+    model = load_model_from_file(path, **kwargs)
     d0 = make_data(model)
     nu = model.nu
     keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
-    batch = jax.vmap(
-        lambda k: d0.replace(qpos=d0.qpos.at[7:].add(0.05 * jax.random.normal(k, (nu,))))
-    )(keys)
+    if nu and model.skel.nv == nu + 6:
+        batch = jax.vmap(
+            lambda k: d0.replace(qpos=d0.qpos.at[7:].add(0.05 * jax.random.normal(k, (nu,))))
+        )(keys)
+    else:
+        batch = jax.vmap(lambda k: d0)(keys)
 
     stages = ["smooth", "collision", "constraint", "solver"]
     prev = 0.0

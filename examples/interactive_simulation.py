@@ -42,7 +42,7 @@ def swingup_controller(theta: float, theta_dot: float) -> float:
     return float(np.clip(u, -2, 2))
 
 
-def main(headless: bool, duration: float):
+def run_pendulum(headless: bool, duration: float) -> bool:
     model = load_model_from_file("models/pendulum/pendulum.xml")
     stepper = HostStepper(model)
     dt = float(model.opt.timestep)
@@ -65,13 +65,61 @@ def main(headless: bool, duration: float):
     err = np.mod(qpos[0] - np.pi, 2 * np.pi)
     err = err - 2 * np.pi if err > np.pi else err
     print(f"final: theta error from upright = {err:+.4f} rad, theta_dot = {qvel[0]:+.4f}")
-    return abs(err) < 0.1 and abs(qvel[0]) < 0.5
+    ok = abs(err) < 0.1 and abs(qvel[0]) < 0.5
+    print("swingup", "SUCCEEDED" if ok else "DID NOT CONVERGE")
+    return ok
+
+
+def run_model(path: str, headless: bool, duration: float) -> bool:
+    """Interactively step any packaged model in the native host stepper with
+    a PD hold toward qpos0 — the reference's interactive sim drives arbitrary
+    contact-rich models the same way (reference
+    interactive_simulation.py:57-71, mj_step)."""
+    model = load_model_from_file(path)
+    stepper = HostStepper(model)
+    dt = float(model.opt.timestep)
+    nsteps = int(duration / dt)
+    qpos0 = np.asarray(model.qpos0, np.float64)
+    has_free = model.nv == model.nu + 6  # free base + one actuator per dof
+    kp, kd = 60.0, 2.0
+
+    t_start = time.time()
+    for i in range(nsteps):
+        qpos, qvel = stepper.get_state()
+        if has_free:
+            u = kp * (qpos0[7:] - qpos[7:]) - kd * qvel[6:]
+        else:
+            u = (kp * (qpos0 - qpos) - kd * qvel)[: model.nu]
+        stepper.set_ctrl(u[: model.nu])
+        stepper.step(1)
+        if not headless:
+            lag = (i + 1) * dt - (time.time() - t_start)
+            if lag > 0:
+                time.sleep(lag)
+        if i % max(int(0.5 / dt), 1) == 0:
+            h = qpos[2] if has_free else 0.0
+            print(f"t={i * dt:5.2f}s  base height={h:+.3f}  |qvel|={np.linalg.norm(qvel):.3f}")
+    wall = time.time() - t_start
+    qpos, qvel = stepper.get_state()
+    print(
+        f"final: base height={qpos[2] if has_free else 0.0:+.3f}, "
+        f"|qvel|={np.linalg.norm(qvel):.3f}  ({nsteps / wall:,.0f} steps/s host)"
+    )
+    return bool(np.isfinite(qpos).all())
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--headless", action="store_true", default=True)
     p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument(
+        "--model",
+        default="models/quadruped/quadruped.xml",
+        help="model path, or 'pendulum' for the energy-shaping swingup demo",
+    )
     args = p.parse_args()
-    ok = main(args.headless, args.duration)
-    print("swingup", "SUCCEEDED" if ok else "DID NOT CONVERGE")
+    if args.model == "pendulum":
+        ok = run_pendulum(args.headless, args.duration)
+    else:
+        ok = run_model(args.model, args.headless, args.duration)
+    raise SystemExit(0 if ok else 1)

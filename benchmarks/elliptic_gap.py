@@ -23,7 +23,23 @@ import jax.numpy as jnp
 from ambersim_tpu.core.types import ConeType
 from ambersim_tpu.engine import make_data
 from ambersim_tpu.engine.rollout import rollout as engine_rollout
+from ambersim_tpu.engine.setconst import set_constants
+from ambersim_tpu.mjcf import compile_spec
+from ambersim_tpu.mjcf.parser import parse_mjcf_string
 from ambersim_tpu.utils.io_utils import load_model_from_file
+
+
+def load_elliptic(path: str):
+    """Compile with cone="elliptic" so the static efc layout is the native
+    k-rows-per-contact elliptic one (a post-compile opt.cone flip keeps the
+    pyramidal 2(k-1)-row layout — wrong rows AND no contiguous-tail fast
+    path)."""
+    xml = open(path).read()
+    assert 'cone=' not in xml
+    xml = xml.replace("<option ", '<option cone="elliptic" ', 1)
+    import os as _os
+
+    return set_constants(compile_spec(parse_mjcf_string(xml, base_dir=_os.path.dirname(path))))
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 1024))
 NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 50))
@@ -60,7 +76,8 @@ def measure(model, tag):
 def main():
     m_pyr = load_model_from_file("models/quadruped/quadruped.xml")
     assert int(m_pyr.opt.cone) == int(ConeType.PYRAMIDAL)
-    m_ell = m_pyr.replace(opt=m_pyr.opt.replace(cone=int(ConeType.ELLIPTIC)))
+    m_ell = load_elliptic("ambersim_tpu/models/quadruped/quadruped.xml")
+    assert int(m_ell.opt.cone) == int(ConeType.ELLIPTIC)
 
     pyr = measure(m_pyr, "quadruped pyramidal (fused Pallas Newton)")
     ell = measure(m_ell, "quadruped elliptic  (jnp cone-projection Newton)")

@@ -39,7 +39,13 @@ def main():
     from ambersim_tpu.engine.rollout import rollout as engine_rollout
     from ambersim_tpu.utils.io_utils import load_model_from_file
 
-    model = load_model_from_file("models/quadruped/quadruped.xml")
+    path = os.environ.get("BENCH_MODEL", "models/quadruped/quadruped.xml")
+    if os.environ.get("BENCH_CONE") == "elliptic":
+        from benchmarks.elliptic_gap import load_elliptic
+
+        model = load_elliptic(os.path.join("ambersim_tpu", path))
+    else:
+        model = load_model_from_file(path)
     nu = model.nu
     kp, kd = 60.0, 2.0
 

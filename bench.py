@@ -46,7 +46,7 @@ NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 100))
 # PPO rung (VERDICT r2 #1): short quadruped PPO segment through the full
 # rollout+GAE+update loop. Sizes mirror examples/rl/quadruped/ex_locomotion.py.
 PPO_NUM_ENVS = int(os.environ.get("BENCH_PPO_NUM_ENVS", 4096))
-PPO_TRAIN_STEPS = int(os.environ.get("BENCH_PPO_TRAIN_STEPS", 3))
+PPO_TRAIN_STEPS = int(os.environ.get("BENCH_PPO_TRAIN_STEPS", 12))
 PPO_UNROLL = int(os.environ.get("BENCH_PPO_UNROLL", 20))
 PPO_EPISODE = int(os.environ.get("BENCH_PPO_EPISODE", 500))
 PPO_EVAL_ENVS = int(os.environ.get("BENCH_PPO_EVAL_ENVS", 64))
@@ -144,7 +144,12 @@ def _ppo_rung():
     num_minibatches = 32
     batch_size = max(num_envs // 4, 8)  # num_unrolls = 8 at the default scale
     env_steps_per_training_step = (batch_size * num_minibatches // num_envs) * unroll * num_envs
-    n_steps = PPO_TRAIN_STEPS  # one training step per epoch (progress call)
+    # two measured epochs after the jit epoch: each progress-to-progress
+    # window must hold MANY training steps, because every epoch boundary
+    # costs a handful of host<->device transfers (seconds each over a
+    # tunneled TPU — measured 20s/epoch of pure overhead at 1 step/epoch,
+    # which undersold training throughput 4x)
+    n_steps = PPO_TRAIN_STEPS
 
     marks = []  # (wall time, env step count) at each progress callback
 
@@ -155,7 +160,7 @@ def _ppo_rung():
     ppo_train(
         environment=QuadrupedLocomotionEnv(),
         num_timesteps=n_steps * env_steps_per_training_step,
-        num_evals=n_steps + 1,
+        num_evals=4,  # init eval + jit epoch + two measured epochs
         episode_length=PPO_EPISODE,
         normalize_observations=True,
         unroll_length=unroll,

@@ -24,6 +24,7 @@ def load_model_from_file(
     solver: Optional[str] = None,
     iterations: Optional[int] = None,
     ls_iterations: Optional[int] = None,
+    cone: Optional[str] = None,  # "pyramidal"/"elliptic"; pre-compile (layout!)
     broadphase_cap: int = 0,
     device=None,
 ) -> Model:
@@ -58,6 +59,14 @@ def load_model_from_file(
         from ambersim_tpu.mjcf.urdf import force_float_base
 
         force_float_base(spec)
+
+    if cone is not None:
+        # must be applied BEFORE compilation: the static efc layout encodes
+        # the cone (k rows/contact elliptic vs 2(k-1) pyramidal); flipping
+        # opt.cone on a compiled Model is rejected by the solver
+        if cone.lower() not in ("pyramidal", "elliptic"):
+            raise ValueError(f"cone must be 'pyramidal' or 'elliptic', got {cone!r}")
+        spec.option["cone"] = cone.lower()
 
     model = set_constants(compile_spec(spec, broadphase_cap=broadphase_cap))
 

@@ -33,13 +33,8 @@ def load_elliptic(path: str):
     """Compile with cone="elliptic" so the static efc layout is the native
     k-rows-per-contact elliptic one (a post-compile opt.cone flip keeps the
     pyramidal 2(k-1)-row layout — wrong rows AND no contiguous-tail fast
-    path)."""
-    xml = open(path).read()
-    assert 'cone=' not in xml
-    xml = xml.replace("<option ", '<option cone="elliptic" ', 1)
-    import os as _os
-
-    return set_constants(compile_spec(parse_mjcf_string(xml, base_dir=_os.path.dirname(path))))
+    path; the solver rejects it)."""
+    return load_model_from_file(path, cone="elliptic")
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 1024))
 NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 50))
@@ -76,7 +71,7 @@ def measure(model, tag):
 def main():
     m_pyr = load_model_from_file("models/quadruped/quadruped.xml")
     assert int(m_pyr.opt.cone) == int(ConeType.PYRAMIDAL)
-    m_ell = load_elliptic("ambersim_tpu/models/quadruped/quadruped.xml")
+    m_ell = load_elliptic("models/quadruped/quadruped.xml")
     assert int(m_ell.opt.cone) == int(ConeType.ELLIPTIC)
 
     pyr = measure(m_pyr, "quadruped pyramidal (fused Pallas Newton)")

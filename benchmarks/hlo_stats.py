@@ -41,9 +41,7 @@ def main():
 
     path = os.environ.get("BENCH_MODEL", "models/quadruped/quadruped.xml")
     if os.environ.get("BENCH_CONE") == "elliptic":
-        from benchmarks.elliptic_gap import load_elliptic
-
-        model = load_elliptic(os.path.join("ambersim_tpu", path))
+        model = load_model_from_file(path, cone="elliptic")
     else:
         model = load_model_from_file(path)
     nu = model.nu

@@ -141,3 +141,30 @@ def test_urdf_matches_mjcf_dynamics():
         return np.asarray(d.qpos)
 
     np.testing.assert_allclose(roll(m_xml), roll(m_urdf), atol=2e-4)
+
+
+def test_cone_loader_override():
+    """cone= must act at COMPILE time: the static efc layout encodes the
+    cone (k rows/contact elliptic vs 2(k-1) pyramidal); flipping opt.cone on
+    a compiled Model is rejected by the solver instead of silently reading
+    wrong rows."""
+    import pytest
+
+    from ambersim_tpu.core.types import ConeType
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    m_p = load_model_from_file("models/quadruped/quadruped.xml")
+    m_e = load_model_from_file("models/quadruped/quadruped.xml", cone="elliptic")
+    assert int(m_e.opt.cone) == int(ConeType.ELLIPTIC)
+    assert m_e.skel.nefc < m_p.skel.nefc  # 3 vs 4 rows per condim-3 contact
+
+    from ambersim_tpu.engine.solver import _elliptic_meta
+
+    (cdim, slots, rows, base, full) = _elliptic_meta(m_e.skel)[0]
+    assert base is not None and full  # contiguous-tail fast path engaged
+
+    with pytest.raises(ValueError, match="not\\s+elliptic|recompile"):
+        _elliptic_meta(m_p.skel)
+
+    with pytest.raises(ValueError, match="cone must be"):
+        load_model_from_file("models/quadruped/quadruped.xml", cone="banana")

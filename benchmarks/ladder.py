@@ -76,14 +76,13 @@ def main():
 
     # rung 3b: 32-object clutter (496 object-object candidate pairs) with
     # top-k broadphase vs exact all-pairs — the sublinear-stepping claim
-    # (tests/test_broadphase.py pins correctness; this pins wall-clock)
+    # (tests/test_broadphase.py pins correctness; this pins wall-clock).
+    # Batch 256 for all clutter rungs: the nv=192 solve is compute-bound well
+    # below that, and at batch 1024 the Newton working set (J alone is
+    # 1.8 GB) plus the chunked-linalg relayout copies exhaust HBM.
     m_cap = load_model_from_file("models/objects/clutter32.xml", broadphase_cap=48)
-    capped = _time_rollout(m_cap, _batch(m_cap, 1024), 100)
-    emit("clutter32_1024env_broadphase_cap48", capped)
-    # speedup ratio measured at batch 256: the exact all-pairs graph carries
-    # ~2k efc rows and its batch-1024 HLO exceeds what the remote-compile
-    # helper will build; the capped-vs-exact ratio is batch-independent
     capped_256 = _time_rollout(m_cap, _batch(m_cap, 256), 100)
+    emit("clutter32_256env_broadphase_cap48", capped_256)
     m_all = load_model_from_file("models/objects/clutter32.xml")
     exact = _time_rollout(m_all, _batch(m_all, 256), 100)
     emit("clutter32_256env_exact_allpairs", exact)
@@ -104,7 +103,7 @@ def main():
     from ambersim_tpu.mjcf.parser import parse_mjcf_string as _ps
 
     m_rc = _setc(_cs(_ps(xml_cap, base_dir=_os.path.dirname(_cl)), broadphase_cap=48))
-    emit("clutter32_1024env_rowcap192", _time_rollout(m_rc, _batch(m_rc, 1024), 100))
+    emit("clutter32_256env_rowcap192", _time_rollout(m_rc, _batch(m_rc, 256), 100))
 
     # rung 4: quadruped PD stand, batch 4096
     m = load_model_from_file("models/quadruped/quadruped.xml")

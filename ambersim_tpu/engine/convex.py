@@ -180,11 +180,16 @@ def hull_hull(h1: Hull, h2: Hull, ncon: int):
     n = jnp.take_along_axis(axes, bidx[..., None, None], axis=-2)[..., 0, :]  # (..., 3)
 
     # ================= face-case manifold =================
-    # reference face: the best face axis's face; incident face: most
-    # anti-parallel face on the other hull. Build both orderings and select.
+    # reference face lives on hull1 iff the winning face axis came from
+    # hull1's block. The face RING, though, is selected by alignment with
+    # the oriented normal n, NOT by the winning axis index: axes are flipped
+    # to point hull1->hull2, so a hull's two antiparallel faces produce the
+    # SAME flipped axis and tie in sep — argmax can land on the far-side
+    # face, whose ring then anchors the depth projection a full box-width
+    # off (observed: near-parallel stacked boxes reporting +0.079
+    # "separation" while 0.021 interpenetrated, letting the top box fall
+    # straight through; tests/test_convex_narrowphase.py near-parallel).
     on1 = bf < F1  # reference face lives on hull1
-    rf1 = jnp.clip(bf, 0, F1 - 1)
-    rf2 = jnp.clip(bf - F1, 0, F2 - 1)
 
     def gather_face(h: Hull, idx):
         fv = jnp.take_along_axis(
@@ -199,6 +204,11 @@ def hull_hull(h1: Hull, h2: Hull, ncon: int):
     inc_score2 = jnp.einsum("...fi,...i->...f", h2.face_n, n)  # want min
     if1 = jnp.argmax(inc_score1, axis=-1)
     if2 = jnp.argmin(inc_score2, axis=-1)
+    # the n-aligned faces are ALSO the reference rings (see comment above):
+    # hull1's reference face is its most n-aligned face, hull2's its most
+    # anti-aligned — identical selections to the incident faces
+    rf1 = if1
+    rf2 = if2
 
     # reference ring/normal and incident ring/normal, resolved by on1.
     # rings from the two hulls may have different widths: pad to a common

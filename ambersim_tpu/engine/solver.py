@@ -276,18 +276,80 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
     pma = p @ ma
 
     elliptic = _is_elliptic(m)
+    s = m.skel
+    meta = _elliptic_meta(s) if elliptic else []
+    scalar_path = elliptic and len(meta) == 1 and meta[0][3] is not None
 
-    def phi_grad_hess(t):
-        jart = jar + t * jp
-        _, force, quad = _row_costs(m, d, jart)
-        # dcost/dt = p^T M (a - as) + t p^T M p + sum_i (-force_i) * jp_i
-        g = pma + t * pmp - jnp.sum(force * jp)
-        h = pmp + jnp.sum(jnp.where(quad, d.efc_D * jp * jp, 0.0))
-        if elliptic:
-            for rows, base, W in _elliptic_W(m, d, jart):
-                jpb = _rows_take(jp, rows, base)  # (S, cdim)
-                h = h + jnp.einsum("sc,scd,sd->", jpb, W, jpb)
-        return g, h
+    if scalar_path:
+        # Closed-form cone terms: along the search ray jar + t*jp, each
+        # cone block's zone state is a function of per-block SCALARS
+        # (N(t) = N0 + t dN linear; T(t)^2 = a + 2bt + ct^2 quadratic), so
+        # every line-search iteration is pure (S,)-scalar math — no
+        # (S, cdim[,nv]) tensor rebuilds. The tensor spelling re-instantiated
+        # ~2 small einsums per ls iteration and was ~half the remaining
+        # elliptic step time (benchmarks/hlo_stats.py).
+        cdim, slots, rows, base, full = meta[0]
+        c = d.contact
+        fr = c.friction if full else c.friction[slots]
+        mu0 = jnp.maximum(fr[:, 0], 1e-12)
+        sq = jnp.sqrt(m.opt.impratio)
+        mu = mu0 / sq
+        scale = fr[:, : cdim - 1] / mu0[:, None] * sq
+        x0 = _rows_take(jar, rows, base)
+        dx = _rows_take(jp, rows, base)
+        y0 = x0[:, 1:] * scale
+        dy = dx[:, 1:] * scale
+        N0, dN = x0[:, 0], dx[:, 0]
+        aq = jnp.sum(y0 * y0, -1)
+        bq = jnp.sum(y0 * dy, -1)
+        cq = jnp.sum(dy * dy, -1)
+        act = _rows_take(d.efc_active, rows, base)[:, 0]
+        D_rows = _rows_take(d.efc_D, rows, base)
+        Dn = D_rows[:, 0]
+        h_bot = jnp.sum(D_rows * dx * dx, -1)  # t-independent
+        one = 1.0 + mu * mu
+        jar_h, jp_h = jar[:base], jp[:base]
+        D_h, fl_h = d.efc_D[:base], d.efc_frictionloss[:base]
+        act_h = d.efc_active[:base]
+
+        def phi_grad_hess(t):
+            # head rows (equality/friction/limits): tiny dense arrays
+            _, force_h, quad_h = _row_costs_pure(
+                jar_h + t * jp_h, D_h, fl_h, act_h, s.ne, s.nf
+            )
+            g = pma + t * pmp - jnp.sum(force_h * jp_h)
+            h = pmp + jnp.sum(jnp.where(quad_h, D_h * jp_h * jp_h, 0.0))
+            # cone blocks (mirrors _elliptic_zone/_elliptic_W algebra)
+            T2 = jnp.maximum(aq + 2.0 * bq * t + cq * t * t, 1e-24)
+            T = jnp.sqrt(T2)
+            Tp = (bq + cq * t) / T
+            N = N0 + t * dN
+            bottom = N <= -mu * T
+            top = N >= mu * T
+            mid = ~(bottom | top)
+            cfac = (mu * T - N) / one
+            g_b = Dn * (N * dN + (bq + cq * t))
+            g_m = -Dn * cfac * (dN - mu * Tp)
+            h_m = Dn / one * (mu * Tp - dN) ** 2 + Dn * mu * cfac / T * jnp.maximum(
+                cq - Tp * Tp, 0.0
+            )
+            gb = jnp.where(bottom, g_b, jnp.where(mid, g_m, 0.0)) * act
+            hb = jnp.where(bottom, h_bot, jnp.where(mid, h_m, 0.0)) * act
+            return g + jnp.sum(gb), h + jnp.sum(hb)
+
+    else:
+
+        def phi_grad_hess(t):
+            jart = jar + t * jp
+            _, force, quad = _row_costs(m, d, jart)
+            # dcost/dt = p^T M (a - as) + t p^T M p + sum_i (-force_i) * jp_i
+            g = pma + t * pmp - jnp.sum(force * jp)
+            h = pmp + jnp.sum(jnp.where(quad, d.efc_D * jp * jp, 0.0))
+            if elliptic:
+                for rows, base, W in _elliptic_W(m, d, jart):
+                    jpb = _rows_take(jp, rows, base)  # (S, cdim)
+                    h = h + jnp.einsum("sc,scd,sd->", jpb, W, jpb)
+            return g, h
 
     # scalar Newton on t: unrolled when short (straight-line code fuses into
     # few kernels), fori_loop when long (bounded compile time)

@@ -23,9 +23,6 @@ import jax.numpy as jnp
 from ambersim_tpu.core.types import ConeType
 from ambersim_tpu.engine import make_data
 from ambersim_tpu.engine.rollout import rollout as engine_rollout
-from ambersim_tpu.engine.setconst import set_constants
-from ambersim_tpu.mjcf import compile_spec
-from ambersim_tpu.mjcf.parser import parse_mjcf_string
 from ambersim_tpu.utils.io_utils import load_model_from_file
 
 

@@ -264,6 +264,34 @@ def _row_costs(m: Model, d: Data, jar: jax.Array):
 def _total_cost(m: Model, d: Data, qacc: jax.Array, jar: jax.Array) -> jax.Array:
     dacc = qacc - d.qacc_smooth
     smooth_cost = 0.5 * dacc @ (d.qM @ dacc)
+    s = m.skel
+    meta = _elliptic_meta(s) if _is_elliptic(m) else []
+    if len(meta) == 1 and meta[0][3] is not None:
+        # contiguous single-cdim tail: cone cost from per-block scalars
+        # (cost-only — skips the force/quad tensor builds of _row_costs)
+        cdim, slots, rows, base, full = meta[0]
+        c = d.contact
+        fr = c.friction if full else c.friction[slots]
+        mu0 = jnp.maximum(fr[:, 0], 1e-12)
+        sq = jnp.sqrt(m.opt.impratio)
+        mu = mu0 / sq
+        scale = fr[:, : cdim - 1] / mu0[:, None] * sq
+        x = _rows_take(jar, rows, base)
+        y = x[:, 1:] * scale
+        N = x[:, 0]
+        T2 = jnp.sum(y * y, -1)
+        T = jnp.sqrt(jnp.maximum(T2, 1e-24))
+        act = _rows_take(d.efc_active, rows, base)[:, 0]
+        Dn = _rows_take(d.efc_D, rows, base)[:, 0]
+        one = 1.0 + mu * mu
+        bottom = N <= -mu * T
+        mid = ~(bottom | (N >= mu * T))
+        cfac = (mu * T - N) / one
+        blk = jnp.where(bottom, 0.5 * Dn * (N * N + T2), jnp.where(mid, 0.5 * Dn * cfac * cfac * one, 0.0))
+        head_cost, _, _ = _row_costs_pure(
+            jar[:base], d.efc_D[:base], d.efc_frictionloss[:base], d.efc_active[:base], s.ne, s.nf
+        )
+        return smooth_cost + jnp.sum(head_cost) + jnp.sum(blk * act)
     cost, _, _ = _row_costs(m, d, jar)
     return smooth_cost + jnp.sum(cost)
 

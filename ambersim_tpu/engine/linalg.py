@@ -24,8 +24,10 @@ import jax.numpy as jnp
 # 36M out + 66M spills); n<=128 leaves >2x margin at tile 128. Past 128 the
 # kernel shrinks the lane tile (64 at n<=192, 32 beyond — see
 # ops/linalg_pallas._batched_call), which admits the clutter-class nv=192
-# scenes (VERDICT r2 #5); 256 is the conservative ceiling for tile 32.
-_PALLAS_MAX_N = 256
+# scenes (VERDICT r2 #5). 192 is the largest n with a measured scoped-VMEM
+# fit (102.6 MB at tile 32 vs the 112 MB limit); spill grows ~n^2, so larger
+# n falls back to XLA's native blocked path until measured.
+_PALLAS_MAX_N = 192
 # Unrolled straight-line factor/solve is serial-latency-optimal for the
 # simulation regime (nv ~ 10-40) but its op count — and XLA compile time —
 # grows with n (a 192-dof scene takes ~4 min to compile the unrolled factor

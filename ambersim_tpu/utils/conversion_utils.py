@@ -47,6 +47,7 @@ def convex_decomposition_file(
     threshold: float = 0.1,
     quiet: bool = True,
     savedir: Optional[Union[str, Path]] = None,
+    report_quality: bool = False,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decompose a mesh file into convex parts (reference:
     conversion_utils.py:40-81, defaults max_convex_hull=16, threshold=0.1).
@@ -91,7 +92,9 @@ def convex_decomposition_file(
         budget -= len(comp_parts)
     if len(groups) > max_convex_hull and not quiet:
         print(f"warning: {len(groups)} components, keeping first {max_convex_hull}")
-    if not quiet:
+    # quality measurement is a Monte-Carlo pass over every face — multi-second
+    # on large meshes, so it runs only on request, not on every verbose call
+    if report_quality and not quiet:
         q = decomposition_quality(verts, faces, parts)
         print(
             f"{os.path.basename(str(path))}: {q['n_parts']} parts, "

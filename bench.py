@@ -177,6 +177,13 @@ def _ppo_rung():
     )
     # marks[0] is the pre-training eval; marks[1] ends epoch 1 (includes jit);
     # steady state is epoch 2..n.
+    if len(marks) < 3:
+        print(
+            f"[bench] PPO rung: only {len(marks)} progress marks (need >= 3 for a "
+            "steady-state window) — check BENCH_PPO_TRAIN_STEPS / num_evals overrides",
+            file=sys.stderr,
+        )
+        return
     t_first_update = marks[1][0] - t_start
     dt = marks[-1][0] - marks[1][0]
     steps = marks[-1][1] - marks[1][1]

@@ -82,6 +82,29 @@ def run_model(path: str, headless: bool, duration: float) -> bool:
     qpos0 = np.asarray(model.qpos0, np.float64)
     has_free = model.nv == model.nu + 6  # free base + one actuator per dof
     kp, kd = 60.0, 2.0
+    # Per-dof PD toward qpos0, mapped joint-by-joint: hinge/slide dofs pair
+    # 1:1 with a qpos entry; free/ball rotational dofs have quaternion qpos
+    # (nq != nv), so they get damping only (a proper attitude PD needs a
+    # quaternion log map, which the hold-in-place demo doesn't need).
+    skel = model.skel
+    hs_dof = []  # (dofadr, qposadr) for hinge/slide joints
+    damp_dof = []  # dofadr ranges for free/ball joints
+    for t, qa, da in zip(skel.jnt_type, skel.jnt_qposadr, skel.jnt_dofadr):
+        if t in (2, 3):  # SLIDE, HINGE
+            hs_dof.append((int(da), int(qa)))
+        else:  # FREE: 6 dofs, BALL: 3 dofs
+            damp_dof.extend(range(int(da), int(da) + (6 if t == 0 else 3)))
+    hs_d = np.array([d for d, _ in hs_dof], dtype=int)
+    hs_q = np.array([q for _, q in hs_dof], dtype=int)
+
+    def pd_ctrl(qpos, qvel):
+        err = np.zeros(model.nv)
+        if hs_d.size:
+            err[hs_d] = qpos0[hs_q] - qpos[hs_q]
+        u = kp * err - kd * qvel
+        if damp_dof:
+            u[damp_dof] = -kd * qvel[damp_dof]
+        return u
 
     t_start = time.time()
     for i in range(nsteps):
@@ -89,7 +112,7 @@ def run_model(path: str, headless: bool, duration: float) -> bool:
         if has_free:
             u = kp * (qpos0[7:] - qpos[7:]) - kd * qvel[6:]
         else:
-            u = (kp * (qpos0 - qpos) - kd * qvel)[: model.nu]
+            u = pd_ctrl(qpos, qvel)
         stepper.set_ctrl(u[: model.nu])
         stepper.step(1)
         if not headless:

@@ -583,6 +583,249 @@ def _newton_dispatch(
     return fn_diff
 
 
+def _newton_arrays_elliptic_jnp(
+    J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio,
+    *, ne, nf, base, ncon, cdim, iterations, ls_iterations, use_ws,
+):
+    """Unbatched elliptic Newton on plain arrays (single-condim contiguous
+    contact tail) — the primal of the elliptic custom_vmap dispatch and the
+    non-TPU fallback. Mirrors the Pallas elliptic kernel
+    (ops/newton_pallas.py _elliptic_kernel) op for op, which itself mirrors
+    _elliptic_zone/_elliptic_W and the scalar line-search path."""
+    from ambersim_tpu.engine import linalg
+
+    nv = a_s.shape[-1]
+    dtype = a_s.dtype
+    S, nfr, nh = ncon, cdim - 1, base
+
+    mu0 = jnp.maximum(fr[:, 0], 1e-12)
+    sq = jnp.sqrt(impratio.astype(dtype))
+    mu = mu0 / sq
+    scale = fr[:, :nfr] / mu0[:, None] * sq  # (S, nfr)
+    one_mu2 = 1.0 + mu * mu
+
+    def split(x):  # head rows, contact block rows (S, cdim)
+        return x[:nh], x[nh:].reshape(S, cdim)
+
+    D_h, D_c = split(D)
+    fl_h = fl[:nh]
+    act_h, act_c = split(act)
+    actN = act_c[:, 0]
+    Dn = D_c[:, 0]
+
+    def head_costs(jart_h):
+        return _row_costs_pure(jart_h, D_h, fl_h, act_h, ne, nf)
+
+    def cone_state(jar):
+        x = jar[nh:].reshape(S, cdim)
+        N = x[:, 0]
+        y = x[:, 1:] * scale
+        T2 = jnp.sum(y * y, -1)
+        T = jnp.sqrt(jnp.maximum(T2, 1e-24))
+        bottom = N <= -mu * T
+        top = N >= mu * T
+        middle = ~(bottom | top)
+        cfac = (mu * T - N) / one_mu2
+        return N, y, T2, T, bottom, middle, cfac
+
+    def cone_cost(jar):
+        N, y, T2, T, bottom, middle, cfac = cone_state(jar)
+        return (
+            jnp.where(bottom, 0.5 * Dn * (N * N + T2), 0.0)
+            + jnp.where(middle, 0.5 * Dn * cfac * cfac * one_mu2, 0.0)
+        ) * actN
+
+    def total_cost(qacc, jar):
+        dacc = qacc - a_s
+        hc, _, _ = head_costs(jar[:nh])
+        return 0.5 * dacc @ (qM @ dacc) + jnp.sum(hc) + jnp.sum(cone_cost(jar))
+
+    def cone_force(jar):
+        N, y, T2, T, bottom, middle, cfac = cone_state(jar)
+        fN = jnp.where(bottom, -Dn * N, jnp.where(middle, Dn * cfac, 0.0))
+        fY = jnp.where(
+            bottom[:, None], -Dn[:, None] * y,
+            jnp.where(middle[:, None], (-Dn * cfac * mu / T)[:, None] * y, 0.0),
+        )
+        return jnp.concatenate([fN[:, None], fY * scale], axis=1) * actN[:, None]
+
+    jar_s = J @ a_s - aref
+    cost_s = total_cost(a_s, jar_s)
+    qacc, jar, cost = a_s, jar_s, cost_s
+    if use_ws:
+        jar_w = J @ ws - aref
+        cost_w = total_cost(ws, jar_w)
+        better = cost_w < cost_s
+        qacc = jnp.where(better, ws, a_s)
+        jar = jnp.where(better, jar_w, jar_s)
+        cost = jnp.where(better, cost_w, cost_s)
+
+    Rc = J[nh:].reshape(S, cdim, nv)
+
+    def body(carry):
+        qacc, jar, cost, prev_cost = carry
+        _, force_h, quad_h = head_costs(jar[:nh])
+        force = jnp.concatenate([force_h, cone_force(jar).reshape(-1)])
+        Mdacc = qM @ (qacc - a_s)
+        grad = Mdacc - J.T @ force
+
+        # Hessian: head quad rows + per-block W quadratic form
+        N, y, T2, T, bottom, middle, cfac = cone_state(jar)
+        h_h = jnp.where(quad_h, D_h, 0.0)
+        g_mid = Dn / one_mu2 * middle * actN
+        curv = Dn * mu * cfac / T * middle * actN
+        yh = y / T[:, None]
+        bot_a = bottom * actN
+        # W (S, cdim, cdim) assembled blockwise (row space)
+        v = jnp.concatenate([-jnp.ones((S, 1), dtype), mu[:, None] * yh * scale], axis=1)
+        W = g_mid[:, None, None] * v[:, :, None] * v[:, None, :]
+        eye_f = jnp.eye(nfr, dtype=dtype)
+        curv_blk = curv[:, None, None] * (eye_f[None] - yh[:, :, None] * yh[:, None, :]) * (
+            scale[:, :, None] * scale[:, None, :]
+        )
+        W = W + jnp.concatenate(
+            [
+                jnp.zeros((S, 1, cdim), dtype),
+                jnp.concatenate([jnp.zeros((S, nfr, 1), dtype), curv_blk], axis=2),
+            ],
+            axis=1,
+        )
+        W = W + bot_a[:, None, None] * jax.vmap(jnp.diag)(D_c)
+        H = qM + (J[:nh] * h_h[:, None]).T @ J[:nh]
+        H = H + jnp.einsum("scv,scd,sdw->vw", Rc, W, Rc)
+        H = H + 1e-8 * jnp.eye(nv, dtype=dtype)
+        p = -linalg.solve_pd(H, grad)
+        jp = J @ p
+
+        mp = qM @ p
+        pmp = p @ mp
+        pma = p @ Mdacc
+
+        # closed-form scalar line search
+        dxc = jp[nh:].reshape(S, cdim)
+        dN = dxc[:, 0]
+        dy = dxc[:, 1:] * scale
+        aq, bq, cq = T2, jnp.sum(y * dy, -1), jnp.sum(dy * dy, -1)
+        N0 = N
+        h_bot = jnp.sum(D_c * dxc * dxc, -1)
+        jar_h, jp_h = jar[:nh], jp[:nh]
+
+        def ls_body(_, t):
+            _, force_t, quad_t = head_costs(jar_h + t * jp_h)
+            g = pma + t * pmp - jnp.sum(force_t * jp_h)
+            hh = pmp + jnp.sum(jnp.where(quad_t, D_h * jp_h * jp_h, 0.0))
+            T2t = jnp.maximum(aq + 2.0 * bq * t + cq * t * t, 1e-24)
+            Tt = jnp.sqrt(T2t)
+            Tp = (bq + cq * t) / Tt
+            Nt = N0 + t * dN
+            bot_t = Nt <= -mu * Tt
+            mid_t = ~(bot_t | (Nt >= mu * Tt))
+            cfac_t = (mu * Tt - Nt) / one_mu2
+            g_b = Dn * (Nt * dN + bq + cq * t)
+            g_m = -Dn * cfac_t * (dN - mu * Tp)
+            h_m = Dn / one_mu2 * (mu * Tp - dN) ** 2 + Dn * mu * cfac_t / Tt * jnp.maximum(
+                cq - Tp * Tp, 0.0
+            )
+            gb = jnp.where(bot_t, g_b, jnp.where(mid_t, g_m, 0.0)) * actN
+            hb = jnp.where(bot_t, h_bot, jnp.where(mid_t, h_m, 0.0)) * actN
+            return t - (g + jnp.sum(gb)) / jnp.maximum(hh + jnp.sum(hb), 1e-12)
+
+        nls = max(ls_iterations, 1)
+        t = jnp.zeros((), dtype)
+        if nls <= 8:
+            for _ls in range(nls):
+                t = ls_body(0, t)
+        else:
+            t = jax.lax.fori_loop(0, nls, ls_body, t)
+        t = jnp.clip(t, 0.0, 4.0)
+
+        qacc_n = qacc + t * p
+        jar_n = jar + t * jp
+        cost_n = total_cost(qacc_n, jar_n)
+        improved = cost_n < cost
+        active_it = prev_cost - cost > tol
+        take = improved & active_it
+        qacc = jnp.where(take, qacc_n, qacc)
+        jar = jnp.where(take, jar_n, jar)
+        prev_cost = jnp.where(active_it, cost, prev_cost)
+        cost = jnp.where(take, cost_n, cost)
+        return qacc, jar, cost, prev_cost
+
+    carry = (qacc, jar, cost, jnp.asarray(jnp.inf, dtype))
+    if iterations <= 8:
+        for _ in range(iterations):
+            carry = body(carry)
+    else:
+        carry = jax.lax.scan(lambda c, _: (body(c), None), carry, None, length=iterations)[0]
+    qacc, jar = carry[0], carry[1]
+
+    _, force_h, _ = head_costs(jar[:nh])
+    force = jnp.concatenate([force_h, cone_force(jar).reshape(-1)])
+    return qacc, force, J.T @ force
+
+
+def _newton_dispatch_elliptic(
+    ne: int, nf: int, base: int, ncon: int, cdim: int,
+    iterations: int, ls_iterations: int, use_ws: bool,
+):
+    """custom_vmap entry for the elliptic solve: per-env calls run the jnp
+    path; vmapped calls on TPU collapse into the fused elliptic Pallas
+    kernel per 128-env tile (contiguous single-condim tail only)."""
+    key = ("elliptic", ne, nf, base, ncon, cdim, iterations, ls_iterations, use_ws)
+    if key in _DISPATCH_CACHE:
+        return _DISPATCH_CACHE[key]
+
+    import functools
+
+    statics = dict(
+        ne=ne, nf=nf, base=base, ncon=ncon, cdim=cdim,
+        iterations=iterations, ls_iterations=ls_iterations, use_ws=use_ws,
+    )
+    primal = functools.partial(_newton_arrays_elliptic_jnp, **statics)
+
+    @jax.custom_batching.custom_vmap
+    def fn(J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio):
+        return primal(J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio):
+        args = [J, qM, aref, D, fl, act, a_s, ws]
+        args = [
+            x if bd else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, bd in zip(args, in_batched[:8])
+        ]
+        J, qM, aref, D, fl, act, a_s, ws = args
+        if in_batched[8]:
+            tol = tol[0]  # env-invariant
+        if not in_batched[9]:
+            fr = jnp.broadcast_to(fr, (axis_size,) + fr.shape)
+        if in_batched[10]:
+            impratio = impratio[0]
+        nefc = J.shape[1]
+        nv = J.shape[2]
+        from ambersim_tpu.ops.newton_pallas import elliptic_fits_vmem
+
+        if (
+            jax.devices()[0].platform == "tpu"
+            and J.ndim == 3
+            and elliptic_fits_vmem(nefc, nv)
+        ):
+            from ambersim_tpu.ops.newton_pallas import newton_solve_elliptic
+
+            out = newton_solve_elliptic(J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio, **statics)
+        else:
+            out = jax.vmap(primal, in_axes=(0,) * 8 + (None, 0, None))(
+                J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio
+            )
+        return out, (True, True, True)
+
+    from ambersim_tpu.engine.linalg import differentiable_dispatch
+
+    fn_diff = differentiable_dispatch(fn, primal)
+    _DISPATCH_CACHE[key] = fn_diff
+    return fn_diff
+
+
 def _solve_newton(m: Model, d: Data) -> Data:
     s = m.skel
     if not _is_elliptic(m):
@@ -604,6 +847,39 @@ def _solve_newton(m: Model, d: Data) -> Data:
             d.qacc_smooth,
             d.qacc_warmstart,
             tol,
+        )
+        return d.replace(
+            qacc=qacc,
+            qfrc_constraint=qfrc,
+            efc_force=force,
+            qacc_warmstart=qacc,
+        )
+    meta = _elliptic_meta(s)
+    if len(meta) == 1 and meta[0][3] is not None:
+        # contiguous single-condim tail: fused dispatch (one Pallas kernel
+        # per tile on TPU, jnp scalar path elsewhere)
+        cdim, slots, rows, base, full = meta[0]
+        iters = int(max(m.opt.iterations, 1))
+        ls = int(max(m.opt.ls_iterations, 1))
+        use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
+        tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
+        fr = d.contact.friction if full else d.contact.friction[slots]
+        fn = _newton_dispatch_elliptic(
+            int(s.ne), int(s.nf), int(base), int(len(slots)), int(cdim),
+            iters, ls, bool(use_ws),
+        )
+        qacc, force, qfrc = fn(
+            d.efc_J,
+            d.qM,
+            d.efc_aref,
+            d.efc_D,
+            d.efc_frictionloss,
+            d.efc_active.astype(d.qpos.dtype),
+            d.qacc_smooth,
+            d.qacc_warmstart,
+            tol,
+            fr,
+            jnp.asarray(m.opt.impratio),
         )
         return d.replace(
             qacc=qacc,

@@ -12,8 +12,10 @@ update — run in ONE Mosaic kernel per 128-env tile, with J resident in VMEM
 throughout.
 
 Scope: pyramidal cones (equality/friction/limit/contact rows via static
-ne/nf row masks). Elliptic-cone models keep the jnp path
-(engine/solver.py dispatches). Semantics mirror engine/solver.py exactly:
+ne/nf row masks) via `newton_solve_batched`/`newton_solve_structured`, and
+elliptic cones via `newton_solve_elliptic` (single-condim contiguous-tail
+layouts — the common case; mixed-condim models keep the jnp path,
+engine/solver.py dispatches). Semantics mirror engine/solver.py exactly:
 same Huber friction rows, same warmstart selection, same scale-invariant
 tolerance gating, same t clip [0, 4].
 
@@ -751,6 +753,418 @@ def newton_solve_structured(
         out_shape=(
             jax.ShapeDtypeStruct((n, bp), dtype),
             jax.ShapeDtypeStruct((nefc_k, bp), dtype),
+            jax.ShapeDtypeStruct((n, bp), dtype),
+        ),
+        interpret=interpret,
+    )(*args)
+    force = jnp.moveaxis(force_t[:, :b], -1, 0)[:, kinv]
+    return (
+        jnp.moveaxis(qacc_t[:, :b], -1, 0),
+        force,
+        jnp.moveaxis(qfrc_t[:, :b], -1, 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Elliptic-cone variant: head rows + second-order-cone contact blocks
+# ---------------------------------------------------------------------------
+#
+# Elliptic layouts put cdim rows per contact ([normal, friction...]) after
+# the head rows (equality / dof friction / limits). The kernel reorders rows
+# to [head | N(S) | T_1(S) | ... | T_{cdim-1}(S)] so every per-block quantity
+# is a contiguous (S, B) slice, then runs the same batch-on-lanes Newton as
+# the pyramidal kernels with three changes, all mirroring the jnp elliptic
+# path (engine/solver.py _elliptic_zone/_elliptic_W/_line_search scalar
+# path) exactly:
+#   * row cost/force on contact rows comes from the cone projection
+#     (bottom / middle / top zones of the mu-scaled circular cone);
+#   * the Hessian contact contribution is B^T W B with a per-block
+#     symmetric (cdim x cdim) W of zone-blended scalar coefficients — the
+#     same factored S@B pattern as the structured pyramidal kernel;
+#   * the exact line search uses the closed-form per-block scalars
+#     (N(t) linear, T(t)^2 quadratic in t), so each ls iteration is pure
+#     (S, B) arithmetic with no row-space rebuilds.
+
+
+def elliptic_fits_vmem(nefc: int, n: int) -> bool:
+    """Whether the elliptic kernel's minimum tile (128) fits scoped VMEM.
+    Working set matches the dense kernel (J + the scaled-row buffer dominate)
+    plus the per-block scalar planes."""
+    n_pad = -(-n // 8) * 8
+    per_env = 4 * (2 * nefc * n_pad + 3 * n * n + 14 * nefc + 12 * n)
+    return 1.8 * per_env * TILE < _VMEM_BUDGET
+
+
+def _elliptic_kernel(
+    J_ref, M_ref, aref_ref, D_ref, fl_ref, act_ref, as_ref, ws_ref, mu_ref,
+    scale_ref, tol_ref, qacc_ref, force_ref, qfrc_ref,
+    *, ne: int, nf: int, nh: int, S: int, cdim: int,
+    iterations: int, ls_iterations: int, use_ws: bool,
+):
+    nefc, n, B = J_ref.shape
+    dtype = J_ref.dtype
+    nfr = cdim - 1
+    J = J_ref[...]          # (nefc, n, B): [head | N | T_1 | ... | T_nfr]
+    M = M_ref[...]          # (n, n, B)
+    aref_v = aref_ref[...]  # (nefc, B)
+    D = D_ref[...]
+    fl = fl_ref[...]        # head rows only meaningful
+    act = act_ref[...]      # float; cone blocks gated by their normal row
+    a_s = as_ref[...]
+    mu = mu_ref[...]        # (S, B) cone parameter mu0/sqrt(impratio)
+    scale = scale_ref[...]  # (nfr*S, B) row->y scaling, stacked per dim
+    tol = tol_ref[0, 0]
+
+    one_mu2 = 1.0 + mu * mu
+    actN = act[nh : nh + S]          # (S, B) normal-row activity
+    Dn = D[nh : nh + S]              # (S, B)
+    Dfr = D[nh + S :]                # (nfr*S, B) friction-row D
+    sc2 = scale * scale
+
+    # head-row masks (same families as the pyramidal kernel)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0)
+    is_eq = (row < ne).astype(dtype)
+    is_fric = ((row >= ne) & (row < ne + nf)).astype(dtype)
+    one_sided = 1.0 - is_eq - is_fric
+    not_fric = 1.0 - is_fric
+    D_h, fl_h, act_h = D[:nh], fl[:nh], act[:nh]
+
+    def jmul(x):
+        return (J * x[None, :, :]).sum(axis=1)
+
+    def jtmul(f):
+        return (J * f[:, None, :]).sum(axis=0)
+
+    def mmul(x):
+        return (M * x[None, :, :]).sum(axis=1)
+
+    def head_force_quadD(jart_h):
+        neg = (jart_h < 0).astype(dtype)
+        gated = (one_sided * neg + (1.0 - one_sided)) * act_h
+        Dj = D_h * jart_h
+        lin = (jnp.abs(Dj) > fl_h).astype(dtype)
+        fric_force = lin * (-jnp.sign(jart_h) * fl_h) + (1.0 - lin) * (-Dj)
+        force = (is_fric * fric_force + not_fric * (-Dj)) * gated
+        quadD = D_h * (is_fric * (1.0 - lin) + not_fric) * gated
+        return force, quadD
+
+    def head_cost(jart_h):
+        neg = (jart_h < 0).astype(dtype)
+        gated = (one_sided * neg + (1.0 - one_sided)) * act_h
+        Dj = D_h * jart_h
+        quad_cost = 0.5 * Dj * jart_h
+        lin = (jnp.abs(Dj) > fl_h).astype(dtype)
+        fric_cost = lin * (fl_h * jnp.abs(jart_h) - 0.5 * fl_h * fl_h / jnp.maximum(D_h, 1e-12)) + (
+            1.0 - lin
+        ) * quad_cost
+        return (is_fric * fric_cost + not_fric * quad_cost) * gated
+
+    def cone_state(jar):
+        """Zone state from the contact rows of jar: all (S, B) scalars."""
+        N = jar[nh : nh + S]
+        y = jar[nh + S :] * scale  # (nfr*S, B) mu-scaled friction residuals
+        T2 = y[:S] * y[:S]
+        for k in range(1, nfr):
+            T2 = T2 + y[k * S : (k + 1) * S] * y[k * S : (k + 1) * S]
+        T = jnp.sqrt(jnp.maximum(T2, 1e-24))
+        muT = mu * T
+        bot = (N <= -muT).astype(dtype)
+        top = (N >= muT).astype(dtype)
+        mid = (1.0 - bot) * (1.0 - top)
+        cfac = (muT - N) / one_mu2
+        return N, y, T2, T, bot, mid, cfac
+
+    def cone_cost(jar):
+        N, y, T2, T, bot, mid, cfac = cone_state(jar)
+        return (bot * (0.5 * Dn * (N * N + T2)) + mid * (0.5 * Dn * cfac * cfac * one_mu2)) * actN
+
+    def total_cost(qacc, jar):
+        dacc = qacc - a_s
+        smooth = 0.5 * (dacc * mmul(dacc)).sum(axis=0)
+        return smooth + head_cost(jar[:nh]).sum(axis=0) + cone_cost(jar).sum(axis=0)
+
+    def cone_force(jar):
+        """Force on contact rows in kernel order: (S + nfr*S, B)."""
+        N, y, T2, T, bot, mid, cfac = cone_state(jar)
+        fN = (bot * (-Dn * N) + mid * (Dn * cfac)) * actN
+        coef_b = -Dn * actN * bot          # (S, B)
+        coef_m = (-Dn * cfac * mu / T) * actN * mid
+        parts = [fN]
+        for k in range(nfr):
+            yk = y[k * S : (k + 1) * S]
+            sk = scale[k * S : (k + 1) * S]
+            # bottom: -Dn*y_k; middle: -Dn*cfac*mu*yhat_k; both *scale back to rows
+            parts.append((coef_b * yk + coef_m * yk) * sk)
+        return jnp.concatenate(parts, axis=0)
+
+    # ---- initial point ----
+    jar_s = jmul(a_s) - aref_v
+    cost_s = total_cost(a_s, jar_s)
+    qacc, jar, cost = a_s, jar_s, cost_s
+    if use_ws:
+        ws = ws_ref[...]
+        jar_w = jmul(ws) - aref_v
+        cost_w = total_cost(ws, jar_w)
+        bet = (cost_w < cost_s).astype(dtype)
+        qacc = bet[None, :] * ws + (1.0 - bet[None, :]) * a_s
+        jar = bet[None, :] * jar_w + (1.0 - bet[None, :]) * jar_s
+        cost = bet * cost_w + (1.0 - bet) * cost_s
+
+    prev_cost = jnp.full((B,), 1e30, dtype)
+    eye_reg = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1),
+        jnp.asarray(1e-8, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+
+    def newton_body(carry):
+        qacc, jar, cost, prev_cost = carry
+        force_h, h_h = head_force_quadD(jar[:nh])
+        force = jnp.concatenate([force_h, cone_force(jar)], axis=0)
+        Mdacc = mmul(qacc - a_s)
+        grad = Mdacc - jtmul(force)
+
+        # scaled-row buffer JW: head rows diag(h)*J_h; contact rows SB = W@R
+        # per block, W the zone-blended symmetric (cdim, cdim) coefficients
+        # (engine/solver.py _elliptic_W, row space: v = (-1, mu*yhat_k*s_k))
+        N, y, T2, T, bot, mid, cfac = cone_state(jar)
+        g_mid = Dn / one_mu2 * mid * actN
+        curv = Dn * mu * cfac / T * mid * actN   # (I - yhat yhat^T) factor
+        yh = [y[k * S : (k + 1) * S] / T for k in range(nfr)]  # yhat_k
+        sk = [scale[k * S : (k + 1) * S] for k in range(nfr)]
+        bot_a = bot * actN
+        # W entries as (S, B) planes
+        W00 = g_mid + bot_a * Dn
+        W0k = [-g_mid * mu * yh[k] * sk[k] for k in range(nfr)]
+        Wkk = {}
+        for kk in range(nfr):
+            for jj in range(kk, nfr):
+                delta = 1.0 if kk == jj else 0.0
+                w = (
+                    g_mid * mu * mu * yh[kk] * yh[jj]
+                    + curv * (delta - yh[kk] * yh[jj])
+                ) * sk[kk] * sk[jj]
+                if kk == jj:
+                    w = w + bot_a * Dfr[kk * S : (kk + 1) * S]
+                Wkk[(kk, jj)] = w
+        RN = J[nh : nh + S]  # (S, n, B)
+        RT = [J[nh + (k + 1) * S : nh + (k + 2) * S] for k in range(nfr)]
+        SB_N = W00[:, None, :] * RN
+        for k in range(nfr):
+            SB_N = SB_N + W0k[k][:, None, :] * RT[k]
+        SBs = [SB_N]
+        for kk in range(nfr):
+            sb = W0k[kk][:, None, :] * RN
+            for jj in range(nfr):
+                w = Wkk[(min(kk, jj), max(kk, jj))]
+                sb = sb + w[:, None, :] * RT[jj]
+            SBs.append(sb)
+        JW = jnp.concatenate([J[:nh] * h_h[:, None, :]] + SBs, axis=0)
+        H = M + eye_reg
+        rows = [(J[:, v : v + 1, :] * JW).sum(axis=0) for v in range(n)]
+        H = H + jnp.stack(rows, axis=0)
+        L = _chol_columns(H, n)
+        p = -_solve_from_l(L, grad, n)
+        jp = jmul(p)
+
+        # ---- closed-form line search (engine/solver.py scalar path) ----
+        mp = mmul(p)
+        pmp = (p * mp).sum(axis=0)
+        pma = (p * Mdacc).sum(axis=0)
+        N0 = jar[nh : nh + S]
+        dN = jp[nh : nh + S]
+        dy = jp[nh + S :] * scale
+        aq = T2  # T(0)^2 from the current jar
+        bq = y[:S] * dy[:S]
+        cq = dy[:S] * dy[:S]
+        for k in range(1, nfr):
+            bq = bq + y[k * S : (k + 1) * S] * dy[k * S : (k + 1) * S]
+            cq = cq + dy[k * S : (k + 1) * S] * dy[k * S : (k + 1) * S]
+        # t-independent bottom-zone curvature: sum over block rows of D*dx^2
+        jp_fr = jp[nh + S :]
+        h_bot = Dn * dN * dN
+        for k in range(nfr):
+            jk = jp_fr[k * S : (k + 1) * S]
+            h_bot = h_bot + Dfr[k * S : (k + 1) * S] * jk * jk
+        jar_h, jp_h = jar[:nh], jp[:nh]
+
+        def ls_body(_, t):
+            force_t, h_t = head_force_quadD(jar_h + t[None, :] * jp_h)
+            g = pma + t * pmp - (force_t * jp_h).sum(axis=0)
+            hh = pmp + (h_t * jp_h * jp_h).sum(axis=0)
+            T2t = jnp.maximum(aq + 2.0 * bq * t[None, :] + cq * t[None, :] * t[None, :], 1e-24)
+            Tt = jnp.sqrt(T2t)
+            Tp = (bq + cq * t[None, :]) / Tt
+            Nt = N0 + t[None, :] * dN
+            muT = mu * Tt
+            bot_t = (Nt <= -muT).astype(dtype)
+            top_t = (Nt >= muT).astype(dtype)
+            mid_t = (1.0 - bot_t) * (1.0 - top_t)
+            cfac_t = (muT - Nt) / one_mu2
+            g_b = Dn * (Nt * dN + bq + cq * t[None, :])
+            g_m = -Dn * cfac_t * (dN - mu * Tp)
+            h_m = Dn / one_mu2 * (mu * Tp - dN) ** 2 + Dn * mu * cfac_t / Tt * jnp.maximum(
+                cq - Tp * Tp, 0.0
+            )
+            gb = (bot_t * g_b + mid_t * g_m) * actN
+            hb = (bot_t * h_bot + mid_t * h_m) * actN
+            return t - (g + gb.sum(axis=0)) / jnp.maximum(hh + hb.sum(axis=0), 1e-12)
+
+        nls = max(ls_iterations, 1)
+        t = jnp.zeros((B,), dtype)
+        if nls <= 8:
+            for _ls in range(nls):
+                t = ls_body(0, t)
+        else:
+            t = jax.lax.fori_loop(0, nls, ls_body, t)
+        t = jnp.clip(t, 0.0, 4.0)
+
+        qacc_n = qacc + t[None, :] * p
+        jar_n = jar + t[None, :] * jp
+        cost_n = total_cost(qacc_n, jar_n)
+        act_f = (prev_cost - cost > tol).astype(dtype)
+        take = (cost_n < cost).astype(dtype) * act_f
+        keep = 1.0 - take
+        qacc = take[None, :] * qacc_n + keep[None, :] * qacc
+        jar = take[None, :] * jar_n + keep[None, :] * jar
+        prev_cost = act_f * cost + (1.0 - act_f) * prev_cost
+        cost = take * cost_n + keep * cost
+        return qacc, jar, cost, prev_cost
+
+    carry = (qacc, jar, cost, prev_cost)
+    if iterations <= 8:
+        for _ in range(iterations):
+            carry = newton_body(carry)
+    else:
+        carry = jax.lax.fori_loop(0, iterations, lambda _, c: newton_body(c), carry)
+    qacc, jar = carry[0], carry[1]
+
+    force_h, _ = head_force_quadD(jar[:nh])
+    force = jnp.concatenate([force_h, cone_force(jar)], axis=0)
+    qacc_ref[...] = qacc
+    force_ref[...] = force  # kernel row order; caller inverse-permutes
+    qfrc_ref[...] = jtmul(force)
+
+
+def newton_solve_elliptic(
+    J: jax.Array,       # (Bt, nefc, nv) — MuJoCo row order
+    qM: jax.Array,
+    aref: jax.Array,
+    D: jax.Array,
+    fl: jax.Array,
+    active: jax.Array,
+    qacc_smooth: jax.Array,
+    warmstart: jax.Array,
+    tol: jax.Array,     # scalar
+    friction: jax.Array,  # (Bt, S, >= cdim-1) contact friction coefficients
+    impratio: jax.Array,  # scalar
+    *,
+    ne: int,
+    nf: int,
+    base: int,          # first contact row (head rows = [0, base))
+    ncon: int,          # S cone blocks
+    cdim: int,
+    iterations: int,
+    ls_iterations: int,
+    use_ws: bool,
+    interpret: bool = False,
+    tile: int | None = None,
+):
+    """Fused elliptic-cone Newton solve for single-condim contiguous-tail
+    layouts. Same contract as newton_solve_batched; outputs in MuJoCo row
+    order."""
+    import numpy as np
+
+    b, nefc, n = J.shape
+    dtype = J.dtype
+    S, nfr, nh = ncon, cdim - 1, base
+    assert nh + S * cdim == nefc
+
+    # kernel row order: [head | N(S) | T_1(S) | ... | T_nfr(S)]
+    perm = np.concatenate(
+        [np.arange(nh)] + [nh + np.arange(S) * cdim + k for k in range(cdim)]
+    )
+    kinv = np.argsort(perm)
+
+    # mu-scaled cone parameters (engine/solver.py _elliptic_zone algebra)
+    mu0 = jnp.maximum(friction[..., 0], 1e-12)  # (Bt, S)
+    sq = jnp.sqrt(impratio.astype(dtype))
+    mu = mu0 / sq
+    scale = friction[..., :nfr] / mu0[..., None] * sq  # (Bt, S, nfr)
+    scale_k = jnp.moveaxis(scale, -1, 1).reshape(b, nfr * S)  # dim-major stack
+
+    if tile is None:
+        n_pad = -(-n // 8) * 8
+        per_env = 4 * (2 * nefc * n_pad + 3 * n * n + 14 * nefc + 12 * n)
+        tile = next((t for t in (512, 256, 128) if 1.8 * per_env * t < _VMEM_BUDGET), 128)
+    bp = -(-b // tile) * tile
+
+    def bpad(x, fill=0.0):
+        xt = jnp.moveaxis(x, 0, -1)
+        pad = [(0, 0)] * (xt.ndim - 1) + [(0, bp - b)]
+        return jnp.pad(xt, pad, constant_values=fill)
+
+    M_t = bpad(qM)
+    if bp > b:
+        eye = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1),
+            jnp.ones((), dtype),
+            jnp.zeros((), dtype),
+        )
+        pad_mask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bp), 2) >= b
+        M_t = jnp.where(pad_mask, eye, M_t)
+
+    args = [
+        bpad(J[:, perm]),
+        M_t,
+        bpad(aref[:, perm]),
+        bpad(D[:, perm]),
+        bpad(fl[:, perm]),
+        bpad(active[:, perm].astype(dtype)),
+        bpad(qacc_smooth),
+        bpad(warmstart),
+        bpad(mu, fill=1.0),       # padded envs: benign nonzero mu
+        bpad(scale_k, fill=1.0),
+        jnp.reshape(tol.astype(dtype), (1, 1)),
+    ]
+    in_specs = [
+        pl.BlockSpec((nefc, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nefc, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nfr * S, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(
+        _elliptic_kernel,
+        ne=ne,
+        nf=nf,
+        nh=nh,
+        S=S,
+        cdim=cdim,
+        iterations=iterations,
+        ls_iterations=ls_iterations,
+        use_ws=use_ws,
+    )
+    qacc_t, force_t, qfrc_t = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nefc, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, bp), dtype),
+            jax.ShapeDtypeStruct((nefc, bp), dtype),
             jax.ShapeDtypeStruct((n, bp), dtype),
         ),
         interpret=interpret,

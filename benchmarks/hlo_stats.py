@@ -34,6 +34,68 @@ def _sync(x) -> float:
     return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
 
 
+def profile_rows(run_fn, sync_out, strip_prefix="jit(rollout)/while/body/closed_call/"):
+    """Trace one execution of `run_fn()` (device work synced via
+    `sync_out(result)`) and return per-op rows
+    [(self_us, category, framework_op, source), ...] sorted by self time.
+
+    Reusable core of this tool (bench.py's in-graph attribution uses it).
+    Raises on any profiler/xprof unavailability — callers decide the
+    fallback."""
+    out = run_fn()
+    sync_out(out)  # warm: compile outside the trace
+
+    tmpdir = tempfile.mkdtemp(prefix="hlostats_")
+    with jax.profiler.trace(tmpdir):
+        out = run_fn()
+        sync_out(out)
+
+    pbs = glob.glob(os.path.join(tmpdir, "**", "*.xplane.pb"), recursive=True)
+    if not pbs:
+        raise RuntimeError(f"no xplane.pb under {tmpdir}")
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data([pbs[-1]], "hlo_stats", {})
+    import json as _json
+
+    table = _json.loads(data) if isinstance(data, (str, bytes)) else data
+    cols = [c["label"] for c in table["cols"]]
+    idx = {label: i for i, label in enumerate(cols)}
+
+    def col(row, name, default=""):
+        i = idx.get(name)
+        return row["c"][i]["v"] if i is not None and row["c"][i] else default
+
+    rows = []
+    for r in table["rows"]:
+        fw = str(col(r, "Framework op name", "")).replace(strip_prefix, "")
+        src = str(col(r, "Source Info", ""))
+        m = re.search(r"title='([^']*)'", src)
+        src = m.group(1) if m else src
+        src = src.replace("/root/repo/ambersim_tpu/", "").split(",")[0]
+        rows.append(
+            (
+                float(col(r, "Total self time (us)", 0) or 0),
+                col(r, "HLO op category"),
+                fw[:80],
+                src[:44],
+            )
+        )
+    rows.sort(reverse=True)
+    return rows
+
+
+def rollup(rows, key_index):
+    """Aggregate self time by a row field (1 = category, 3 = source)."""
+    agg = {}
+    for r in rows:
+        k = r[key_index]
+        if key_index == 3:
+            k = k.split(":")[0] or "<unattributed>"
+        agg[k] = agg.get(k, 0.0) + r[0]
+    return sorted(agg.items(), key=lambda kv: -kv[1])
+
+
 def main():
     from ambersim_tpu.engine import make_data
     from ambersim_tpu.engine.rollout import rollout as engine_rollout
@@ -63,68 +125,20 @@ def main():
     warm = rollout(batch)
     _sync(warm.qpos)
 
-    tmpdir = tempfile.mkdtemp(prefix="hlostats_")
-    with jax.profiler.trace(tmpdir):
-        out = rollout(warm)
-        _sync(out.qpos)
-
-    pbs = glob.glob(os.path.join(tmpdir, "**", "*.xplane.pb"), recursive=True)
-    if not pbs:
-        print(f"no xplane.pb under {tmpdir}", file=sys.stderr)
-        sys.exit(1)
-    from xprof.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data([pbs[-1]], "hlo_stats", {})
-    import json as _json
-
-    table = _json.loads(data) if isinstance(data, (str, bytes)) else data
-    # hlo_stats returns a gviz-style {cols, rows}; map column ids -> index
-    cols = [c["label"] for c in table["cols"]]
-    idx = {label: i for i, label in enumerate(cols)}
-
-    def col(row, name, default=""):
-        i = idx.get(name)
-        return row["c"][i]["v"] if i is not None and row["c"][i] else default
-
-    rows = []
-    for r in table["rows"]:
-        fw = str(col(r, "Framework op name", ""))
-        # strip the common jit(rollout)/while/body prefix for readability
-        fw = fw.replace("jit(rollout)/while/body/closed_call/", "")
-        src = str(col(r, "Source Info", ""))
-        m = re.search(r"title='([^']*)'", src)
-        src = m.group(1) if m else src
-        src = src.replace("/root/repo/ambersim_tpu/", "").split(",")[0]
-        rows.append(
-            (
-                float(col(r, "Total self time (us)", 0) or 0),
-                col(r, "HLO op category"),
-                fw[:80],
-                src[:44],
-            )
-        )
-    rows.sort(reverse=True)
+    rows = profile_rows(lambda: rollout(warm), lambda o: _sync(o.qpos))
     total = sum(r[0] for r in rows)
     print(f"total self time: {total/1e3:.2f} ms over {NUM_STEPS} steps "
           f"({total/NUM_STEPS:.0f} us/step, batch {NUM_ENVS})")
     print(f"{'us/step':>8}  {'%':>5}  {'category':20s} {'source':32s} framework op")
     for t, cat, expr, src in rows[:TOP]:
         print(f"{t/NUM_STEPS:8.1f}  {100*t/total:5.1f}  {cat:20s} {src:32s} {expr}")
-    # category rollup
-    agg = {}
-    for t, cat, _, _ in rows:
-        agg[cat] = agg.get(cat, 0.0) + t
     print("\nby category:")
-    for cat, t in sorted(agg.items(), key=lambda kv: -kv[1]):
+    for cat, t in rollup(rows, 1):
         print(f"  {t/NUM_STEPS:8.1f} us/step  {100*t/total:5.1f}%  {cat}")
     # source-file rollup: which module owns the time (first file in the
     # source-info chain; pallas custom-calls attribute to the kernel file)
-    by_src = {}
-    for t, _, _, src in rows:
-        f = src.split(":")[0] or "<unattributed>"
-        by_src[f] = by_src.get(f, 0.0) + t
     print("\nby source file:")
-    for f, t in sorted(by_src.items(), key=lambda kv: -kv[1]):
+    for f, t in rollup(rows, 3):
         print(f"  {t/NUM_STEPS:8.1f} us/step  {100*t/total:5.1f}%  {f}")
 
 

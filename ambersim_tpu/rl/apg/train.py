@@ -207,7 +207,18 @@ def train(
         grad_norm = optax.global_norm(grads)
         return (training_state, env_state, key), {"episode_loss": loss, "grad_norm": grad_norm}
 
-    @jax.jit
+    import functools
+
+    # Pinned in/out shardings + the pre-committed initial env state below
+    # keep every epoch call on ONE executable: jit keys its cache on actual
+    # argument shardings, so unspecified-sharding reset outputs on call 1 vs
+    # the epoch's own outputs on call 2 silently compile the epoch twice
+    # (same failure measured at ~17 s/epoch on the PPO quadruped bench).
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated, batch_sharding, replicated),
+        out_shardings=(replicated, batch_sharding, replicated),
+    )
     def training_epoch(training_state, env_state, key):
         env_state = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), env_state
@@ -245,6 +256,7 @@ def train(
     metrics: Dict[str, Any] = {}
     key, key_envs = jax.random.split(key)
     env_state = jax.jit(env.reset)(jax.random.split(key_envs, num_envs))
+    env_state = jax.device_put(env_state, batch_sharding)
 
     current_step = 0
     if num_evals > 1:

@@ -238,7 +238,17 @@ def train(
         metrics = jax.tree.map(jnp.mean, metrics)
         return (new_training_state, env_state, key), metrics
 
-    @jax.jit
+    # Pin argument/result shardings: without them, call 1 sees uncommitted/
+    # UnspecifiedValue args (fresh from env.reset + host init) while call 2
+    # sees the concrete shardings of call 1's outputs — a DIFFERENT jit cache
+    # key, so the entire epoch graph silently compiles twice (measured
+    # ~17 s/epoch of pure recompile on the quadruped bench — the dominant
+    # cost of the PPO rung before this fix).
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated, batch_sharding, replicated),
+        out_shardings=(replicated, batch_sharding, replicated),
+    )
     def training_epoch(training_state, env_state, key):
         env_state = shard_env_state(env_state)
         (training_state, env_state, _), metrics = jax.lax.scan(
@@ -280,6 +290,13 @@ def train(
     key, key_envs = jax.random.split(key)
     env_keys = jax.random.split(key_envs, num_envs)
     env_state = jax.jit(env.reset)(env_keys)
+    # Commit the initial env state to the epoch's exact input sharding:
+    # jit keys its executable cache on the ACTUAL argument shardings even
+    # when in_shardings is pinned, so a first call with unspecified-sharding
+    # reset outputs and a second call with the epoch's own outputs compile
+    # TWO identical executables (measured ~17 s/epoch extra on the
+    # quadruped bench; jax 0.9.0).
+    env_state = jax.device_put(env_state, batch_sharding)
 
     current_step = 0
     if num_evals > 1:

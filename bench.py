@@ -46,7 +46,7 @@ NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 100))
 # PPO rung (VERDICT r2 #1): short quadruped PPO segment through the full
 # rollout+GAE+update loop. Sizes mirror examples/rl/quadruped/ex_locomotion.py.
 PPO_NUM_ENVS = int(os.environ.get("BENCH_PPO_NUM_ENVS", 4096))
-PPO_TRAIN_STEPS = int(os.environ.get("BENCH_PPO_TRAIN_STEPS", 12))
+PPO_TRAIN_STEPS = int(os.environ.get("BENCH_PPO_TRAIN_STEPS", 16))
 PPO_UNROLL = int(os.environ.get("BENCH_PPO_UNROLL", 20))
 PPO_EPISODE = int(os.environ.get("BENCH_PPO_EPISODE", 500))
 PPO_EVAL_ENVS = int(os.environ.get("BENCH_PPO_EVAL_ENVS", 64))
@@ -144,11 +144,11 @@ def _ppo_rung():
     num_minibatches = 32
     batch_size = max(num_envs // 4, 8)  # num_unrolls = 8 at the default scale
     env_steps_per_training_step = (batch_size * num_minibatches // num_envs) * unroll * num_envs
-    # two measured epochs after the jit epoch: each progress-to-progress
-    # window must hold MANY training steps, because every epoch boundary
-    # costs a handful of host<->device transfers (seconds each over a
-    # tunneled TPU — measured 20s/epoch of pure overhead at 1 step/epoch,
-    # which undersold training throughput 4x)
+    # three measured epochs after the jit epoch (median + spread, VERDICT r3
+    # #7): each progress-to-progress window must hold MANY training steps,
+    # because every epoch boundary costs a handful of host<->device
+    # transfers (seconds each over a tunneled TPU — measured 20s/epoch of
+    # pure overhead at 1 step/epoch, which undersold training throughput 4x)
     n_steps = PPO_TRAIN_STEPS
 
     marks = []  # (wall time, env step count) at each progress callback
@@ -160,7 +160,7 @@ def _ppo_rung():
     ppo_train(
         environment=QuadrupedLocomotionEnv(),
         num_timesteps=n_steps * env_steps_per_training_step,
-        num_evals=4,  # init eval + jit epoch + two measured epochs
+        num_evals=5,  # init eval + jit epoch + three measured epochs
         episode_length=PPO_EPISODE,
         normalize_observations=True,
         unroll_length=unroll,
@@ -185,23 +185,33 @@ def _ppo_rung():
         )
         return
     t_first_update = marks[1][0] - t_start
-    dt = marks[-1][0] - marks[1][0]
-    steps = marks[-1][1] - marks[1][1]
-    train_steps_per_sec = steps / dt if dt > 0 else 0.0
+    # per-epoch steady-state rates (epochs 2..n): median is the headline,
+    # min/max spread quantifies run-to-run variance (VERDICT r3 #7)
+    rates = []
+    for (t0, s0), (t1, s1) in zip(marks[1:-1], marks[2:]):
+        if t1 > t0:
+            rates.append((s1 - s0) / (t1 - t0))
+    rates.sort()
+    median = rates[len(rates) // 2] if len(rates) % 2 else 0.5 * (
+        rates[len(rates) // 2 - 1] + rates[len(rates) // 2]
+    )
     print(
         f"[bench] PPO rung: {n_steps} training steps x {env_steps_per_training_step} env steps;"
         f" time to first update (jit+epoch1) {t_first_update:.1f}s;"
-        f" steady-state {train_steps_per_sec:,.0f} env steps/s",
+        f" steady-state median {median:,.0f} env steps/s over {len(rates)} epochs"
+        f" (spread {rates[0]:,.0f}-{rates[-1]:,.0f})",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
                 "metric": "quadruped_4096env_ppo_env_steps_per_sec_per_chip",
-                "value": round(train_steps_per_sec, 1),
+                "value": round(median, 1),
                 "unit": "env_steps/s/chip",
-                "vs_baseline": round(train_steps_per_sec / MJX_A100_QUADRUPED_STEPS_PER_SEC, 3),
+                "vs_baseline": round(median / MJX_A100_QUADRUPED_STEPS_PER_SEC, 3),
                 "time_to_first_update_s": round(t_first_update, 1),
+                "median_of_epochs": len(rates),
+                "spread": [round(rates[0], 1), round(rates[-1], 1)],
             }
         ),
         flush=True,
@@ -280,68 +290,44 @@ def _diagnostics(model, batch, warm, ctrl_fn, steps_per_sec, rollout_s):
         file=err,
     )
 
-    # -- per-phase wall clock (separate jits; the real rollout fuses these,
-    # so this is a relative guide, not an exact decomposition) --
-    vm = lambda f: jax.jit(jax.vmap(functools.partial(f, model)))  # noqa: E731
+    # -- in-graph attribution of the REAL fused rollout (VERDICT r3 #9):
+    # per-op HLO self time from the device profiler, rolled up by category
+    # and source module. This is the attribution that holds — separate-jit
+    # phase timings measure dispatch, not the fused step (they summed to
+    # 27x the fused step time).
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.hlo_stats import profile_rows, rollup
 
-    def solve_phase(m, b):
-        return V.solve(m, b)
+        @jax.jit
+        def profiled(b):
+            from ambersim_tpu.engine.rollout import rollout as _roll
 
-    def collision_phase(m, b):
-        return C.collision(m, b)
+            return _roll(model, b, 20, ctrl_fn=ctrl_fn, batched=True)
 
-    def constraint_phase(m, b):
-        return K.make_constraint(m, b)
-
-    def smooth_pos(m, b):
-        b = S.kinematics(m, b)
-        b = S.com_pos(m, b)
-        b = S.crb(m, b)
-        return S.factor_m(m, b)
-
-    def smooth_velacc(m, b):
-        b = S.com_vel(m, b)
-        b = S.rne(m, b)
-        b = S.fwd_actuation(m, b)
-        b = S.passive(m, b)
-        return S.fwd_acceleration(m, b)
-
-    def integrate_phase(m, b):
-        return I.euler(m, b)
-
-    phases = [
-        ("fwd_position (FK+CRBA+chol)", smooth_pos),
-        ("collision", collision_phase),
-        ("constraint assembly", constraint_phase),
-        ("fwd_velocity+actuation+acc", smooth_velacc),
-        ("solver", solve_phase),
-        ("integrate", integrate_phase),
-    ]
-    reps = 5
-    d_in = d
-    rows = []
-    total = 0.0
-    for name, fn in phases:
-        jf = vm(fn)
-        out = jf(d_in)  # compile + warm
-        _sync(out.qpos if hasattr(out, "qpos") else out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = jf(d_in)
-        _sync(out.qpos if hasattr(out, "qpos") else out)
-        dt = (time.perf_counter() - t0) / reps
-        rows.append((name, dt))
-        total += dt
-        if hasattr(out, "qpos"):
-            d_in = out
-    print("[bench] per-phase step time (batch 4096, separate jits):", file=err)
-    for name, dt in rows:
-        print(f"[bench]   {name:32s} {1e3 * dt:7.2f} ms  {100 * dt / max(total, 1e-12):5.1f}%", file=err)
-    fused = NUM_ENVS * NUM_STEPS / steps_per_sec / NUM_STEPS
-    print(
-        f"[bench]   {'sum (unfused)':32s} {1e3 * total:7.2f} ms   vs fused step {1e3 * fused:7.2f} ms",
-        file=err,
-    )
+        rows = profile_rows(lambda: profiled(warm), lambda o: _sync(o.qpos))
+        total_us = sum(r[0] for r in rows)
+        fused_ms = 1e3 * NUM_ENVS / steps_per_sec
+        print(
+            f"[bench] in-graph attribution (hlo_stats, 20-step fused rollout; "
+            f"device self time {total_us / 20 / 1e3:.2f} ms/step vs wall "
+            f"{fused_ms:.2f} ms/step):",
+            file=err,
+        )
+        print("[bench]   by source module:", file=err)
+        for f, t in rollup(rows, 3)[:8]:
+            print(
+                f"[bench]   {t / 20:8.1f} us/step  {100 * t / total_us:5.1f}%  {f}",
+                file=err,
+            )
+        print("[bench]   by op category:", file=err)
+        for cat, t in rollup(rows, 1)[:6]:
+            print(
+                f"[bench]   {t / 20:8.1f} us/step  {100 * t / total_us:5.1f}%  {cat}",
+                file=err,
+            )
+    except Exception as e:
+        print(f"[bench] in-graph attribution unavailable: {type(e).__name__}: {e}", file=err)
 
 
 if __name__ == "__main__":

@@ -141,6 +141,59 @@ def main():
     float(xs[0, 0])
     emit("humanoid_predictive_sampling_64x8", 1.0 / (time.perf_counter() - t0), unit="solves/s")
 
+    # rung 5b: humanoid-balance PPO training (BASELINE config 5's
+    # "contact-rich PPO" half, VERDICT r3 #4): steady-state training
+    # env-steps/s through the full rollout+GAE+update loop, plus the eval
+    # reward reached and total wall clock.
+    if _os.environ.get("LADDER_SKIP_PPO", "") != "1":
+        from ambersim_tpu.rl.humanoid import HumanoidBalanceEnv
+        from ambersim_tpu.rl.ppo import train as ppo_train
+
+        n_envs, unroll, mb = 1024, 20, 16
+        env_steps_per_training_step = n_envs * unroll  # num_unrolls = 1
+        n_steps = int(_os.environ.get("LADDER_PPO_TRAIN_STEPS", 24))
+        marks = []
+
+        def progress(num_steps, metrics):
+            marks.append((time.perf_counter(), num_steps, metrics.get("eval/episode_reward", 0.0)))
+
+        t0 = time.perf_counter()
+        ppo_train(
+            environment=HumanoidBalanceEnv(),
+            num_timesteps=n_steps * env_steps_per_training_step,
+            num_evals=4,
+            episode_length=300,
+            normalize_observations=True,
+            unroll_length=unroll,
+            num_minibatches=mb,
+            num_updates_per_batch=4,
+            discounting=0.97,
+            learning_rate=3e-4,
+            entropy_cost=1e-2,
+            num_envs=n_envs,
+            num_eval_envs=64,
+            batch_size=n_envs // mb,
+            seed=0,
+            progress_fn=progress,
+        )
+        wall = time.perf_counter() - t0
+        if len(marks) >= 3:
+            dt = marks[-1][0] - marks[1][0]
+            steps = marks[-1][1] - marks[1][1]
+            emit("humanoid_balance_1024env_ppo", steps / max(dt, 1e-9))
+            print(
+                json.dumps(
+                    {
+                        "metric": "humanoid_balance_ppo_detail",
+                        "eval_reward_final": round(float(marks[-1][2]), 2),
+                        "wall_clock_s": round(wall, 1),
+                        "train_steps": n_steps,
+                        "unit": "detail",
+                    }
+                ),
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

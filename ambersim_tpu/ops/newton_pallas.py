@@ -789,10 +789,13 @@ def newton_solve_structured(
 def elliptic_fits_vmem(nefc: int, n: int) -> bool:
     """Whether the elliptic kernel's minimum tile (128) fits scoped VMEM.
     Working set matches the dense kernel (J + the scaled-row buffer dominate)
-    plus the per-block scalar planes."""
+    plus the per-block scalar planes. Calibration: measured scoped vmem is
+    ~3.5x this estimate (quadruped elliptic nefc=108/nv=18: 28.08 MiB at
+    tile 256 vs 8.0 MiB estimated — the zone/W coefficient planes stay live
+    across the Hessian assembly)."""
     n_pad = -(-n // 8) * 8
     per_env = 4 * (2 * nefc * n_pad + 3 * n * n + 14 * nefc + 12 * n)
-    return 1.8 * per_env * TILE < _VMEM_BUDGET
+    return 3.5 * per_env * TILE < _VMEM_BUDGET
 
 
 def _elliptic_kernel(
@@ -1095,9 +1098,10 @@ def newton_solve_elliptic(
     scale_k = jnp.moveaxis(scale, -1, 1).reshape(b, nfr * S)  # dim-major stack
 
     if tile is None:
+        # 3.5x Mosaic calibration (see elliptic_fits_vmem)
         n_pad = -(-n // 8) * 8
         per_env = 4 * (2 * nefc * n_pad + 3 * n * n + 14 * nefc + 12 * n)
-        tile = next((t for t in (512, 256, 128) if 1.8 * per_env * t < _VMEM_BUDGET), 128)
+        tile = next((t for t in (512, 256, 128) if 3.5 * per_env * t < _VMEM_BUDGET), 128)
     bp = -(-b // tile) * tile
 
     def bpad(x, fill=0.0):

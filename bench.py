@@ -185,6 +185,16 @@ def _ppo_rung():
         )
         return
     t_first_update = marks[1][0] - t_start
+    # compile attribution for the first-update latency (VERDICT r3 #6):
+    # marks[0] = backend init + env reset + pre-training eval (jit+run);
+    # marks[1]-marks[0] = the epoch graph's jit + first epoch run. See
+    # docs/ARCHITECTURE.md "PPO training throughput" for the trace-vs-
+    # compile breakdown and why the persistent cache does not help here.
+    print(
+        f"[bench] PPO first-update attribution: init+reset+eval-jit "
+        f"{marks[0][0] - t_start:.1f}s; epoch-jit+epoch1 {marks[1][0] - marks[0][0]:.1f}s",
+        file=sys.stderr,
+    )
     # per-epoch steady-state rates (epochs 2..n): median is the headline,
     # min/max spread quantifies run-to-run variance (VERDICT r3 #7)
     rates = []
@@ -272,21 +282,29 @@ def _diagnostics(model, batch, warm, ctrl_fn, steps_per_sec, rollout_s):
             file=err,
         )
 
-    # -- measured-traffic roofline (VERDICT r2 #7): bytes-touched model of
-    # the scan carry. Each rollout iteration reads the full batched Data
-    # pytree from HBM and writes it back (the carry is far larger than VMEM,
-    # so this traffic is unavoidable); intermediates only add to it. This
-    # gives a HARD LOWER bound on achieved HBM bandwidth, complementing the
-    # cost-model upper bound above.
+    # -- measured-traffic accounting (VERDICT r2 #7, corrected r4): the
+    # rollout's scan carry is the MINIMAL field set (engine/rollout.py
+    # _CARRY_FIELDS: qpos/qvel/act/qacc_warmstart/time — the VERDICT r3 #10
+    # audit: every other Data leaf is derived and recomputed by step(), so
+    # nothing else rides the carry). The full Data pytree is reported too:
+    # its derived buffers (efc rows, contacts, mass matrices) are produced
+    # and consumed WITHIN a step, and at batch 4096 they exceed VMEM, so
+    # they bound intermediate HBM traffic — but XLA fusion decides how much
+    # actually moves; the cost-model bytes above are the honest estimate.
+    from ambersim_tpu.engine.rollout import _CARRY_FIELDS
+
+    carry_bytes = sum(
+        getattr(warm, f).size * getattr(warm, f).dtype.itemsize for f in _CARRY_FIELDS
+    )
     data_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(warm))
-    min_bytes_per_batch_step = 2 * data_bytes  # carry read + carry write
     batch_steps_per_sec = steps_per_sec / NUM_ENVS
-    floor_gbps = batch_steps_per_sec * min_bytes_per_batch_step / 1e9
+    floor_gbps = batch_steps_per_sec * 2 * carry_bytes / 1e9
     print(
-        f"[bench] carry-traffic floor: Data pytree = {data_bytes / 1e6:.1f} MB/batch "
-        f"({data_bytes / NUM_ENVS:.0f} B/env); >= {min_bytes_per_batch_step / 1e6:.1f} MB moved/step "
-        f"=> achieved >= {floor_gbps:.1f} GB/s = {100 * floor_gbps / TPU_V5E_PEAK_HBM_GBPS:.1f}% "
-        f"of v5e HBM peak (hard lower bound: counts only the scan carry)",
+        f"[bench] scan carry (minimal fields) = {carry_bytes / 1e6:.2f} MB/batch "
+        f"({carry_bytes / NUM_ENVS:.0f} B/env) => carry floor {floor_gbps:.1f} GB/s "
+        f"({100 * floor_gbps / TPU_V5E_PEAK_HBM_GBPS:.2f}% of v5e HBM peak); "
+        f"full Data pytree = {data_bytes / 1e6:.1f} MB/batch "
+        f"({data_bytes / NUM_ENVS:.0f} B/env) of in-step intermediates",
         file=err,
     )
 

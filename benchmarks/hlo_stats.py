@@ -102,21 +102,33 @@ def main():
     from ambersim_tpu.utils.io_utils import load_model_from_file
 
     path = os.environ.get("BENCH_MODEL", "models/quadruped/quadruped.xml")
+    kw = {}
     if os.environ.get("BENCH_CONE") == "elliptic":
-        model = load_model_from_file(path, cone="elliptic")
-    else:
-        model = load_model_from_file(path)
+        kw["cone"] = "elliptic"
+    if os.environ.get("BENCH_BROADPHASE_CAP"):
+        kw["broadphase_cap"] = int(os.environ["BENCH_BROADPHASE_CAP"])
+    model = load_model_from_file(path, **kw)
     nu = model.nu
     kp, kd = 60.0, 2.0
 
     d0 = make_data(model)
     keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
-    batch = jax.vmap(
-        lambda k: d0.replace(qpos=d0.qpos.at[7:].add(0.05 * jax.random.normal(k, (nu,))))
-    )(keys)
+    if nu > 0 and model.nq == nu + 7:  # quadruped-style free base + hinges
+        batch = jax.vmap(
+            lambda k: d0.replace(qpos=d0.qpos.at[7:].add(0.05 * jax.random.normal(k, (nu,))))
+        )(keys)
+    else:  # generic: velocity perturbation seeds contact-rich motion
+        batch = jax.vmap(
+            lambda k: d0.replace(qvel=d0.qvel + 0.05 * jax.random.normal(k, (model.nv,)))
+        )(keys)
 
-    def ctrl_fn(d):
-        return kp * (jnp.zeros(nu) - d.qpos[7:]) - kd * d.qvel[6:]
+    if nu > 0 and model.nq == nu + 7:
+
+        def ctrl_fn(d):
+            return kp * (jnp.zeros(nu) - d.qpos[7:]) - kd * d.qvel[6:]
+
+    else:
+        ctrl_fn = None
 
     @jax.jit
     def rollout(b):

@@ -537,13 +537,21 @@ def make_constraint(m: Model, d: Data) -> Data:
             b2 = s.geom_bodyid[s.con_geom2]
             invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
         else:
-            # broadphase-capped groups choose pairs at runtime: gather by the
-            # traced contact geom ids
+            # broadphase-capped groups choose pairs at runtime: select by the
+            # traced contact geom ids. One-hot contraction, not gsup[ids]:
+            # per-env row gathers under the env vmap run row-at-a-time on TPU
+            # (2 x 365 us/step on the clutter rowcap profile); the difference
+            # one-hot (+1 on geom2, -1 on geom1) does both selections and the
+            # subtraction in ONE (ncon, ngeom) @ (ngeom, nv) MXU matmul.
             gsup = jnp.asarray(gsup_np, dtype)
-            signed_sup = gsup[c.geom2] - gsup[c.geom1]  # (ncon, nv)
-            gbody = jnp.asarray(s.geom_bodyid)
-            biw = jnp.asarray(m.body_invweight0)
-            invweight = biw[gbody[c.geom1], 0] + biw[gbody[c.geom2], 0]  # (ncon,)
+            geom_iota = jnp.arange(gsup.shape[0], dtype=c.geom1.dtype)
+            sel1 = (c.geom1[:, None] == geom_iota).astype(dtype)
+            sel2 = (c.geom2[:, None] == geom_iota).astype(dtype)
+            signed_sup = (sel2 - sel1) @ gsup  # (ncon, nv)
+            # per-geom invweight table (static geom->body map, traced values);
+            # the same one-hots select it
+            biw_geom = jnp.asarray(m.body_invweight0)[np.asarray(s.geom_bodyid), 0]
+            invweight = (sel1 + sel2) @ biw_geom.astype(dtype)  # (ncon,)
         jframe = _frame_rows(c.frame, _point_jac_rows(m, d, c.pos, signed_sup))  # 3 x (ncon, nv)
         pos_c = c.dist - c.includemargin
         k, b, imp = _kbi(m, c.solref, c.solimp, pos_c)

@@ -16,6 +16,7 @@ on TPU and to the unrolled jnp path elsewhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -208,15 +209,20 @@ def _batched_call(kernel, mats, vecs, out_is_mat):
     per_env = 4 * (3 * n * n + 6 * n)  # in+out (double-buffered) + vectors
     tile = next((t for t in (1024, 512, 256) if per_env * 2 * t < 12 * 2**20), TILE)
     if n > 128:
-        # big-nv scenes (clutter32: nv=192): the column sweep's live values
-        # spill ~n^2*tile to the kernel stack (66 MB at n=192/tile 64 vs the
-        # default 16 MB scoped-vmem limit), so shrink the lane tile AND
-        # raise the scoped limit (see _batched_call's compiler_params).
-        # Serial sweeps multiply across the extra chunks but stay far ahead
-        # of XLA's native batched cholesky at these shapes (VERDICT r2 #5).
-        # Measured scoped vmem: 84.3M at (192, tile 64), 102.6M at tile 32
-        # (smaller tiles spill MORE per lane) — tile 64 fits the raised limit.
-        tile = 64 if n <= 192 else 32
+        # big-nv scenes (clutter32: nv=192): the kernels' live values spill
+        # ~n^2*tile to the kernel stack vs the default 16 MB scoped-vmem
+        # limit, so shrink the lane tile AND raise the scoped limit (see
+        # _batched_call's compiler_params). Serial sweeps multiply across
+        # the extra chunks but stay far ahead of XLA's native batched
+        # cholesky at these shapes (VERDICT r2 #5). The panel-blocked
+        # factor/solve (n > _PANEL) keeps fewer live rank-1 intermediates
+        # than the plain column sweep, so its tile can ride higher;
+        # AMBERSIM_LINALG_TILE overrides for experiments.
+        env_tile = os.environ.get("AMBERSIM_LINALG_TILE")
+        if env_tile:
+            tile = int(env_tile)
+        else:
+            tile = 64 if n <= 192 else 32
     bp = -(-b // tile) * tile
     a_t = jnp.moveaxis(mats, 0, -1)  # (n, n, B)
     a_t = jnp.pad(a_t, ((0, 0), (0, 0), (0, bp - b)), constant_values=0.0)

@@ -1,7 +1,9 @@
 """Fused batched Newton contact solver as a single Pallas TPU kernel.
 
-The constraint solve is ~70% of the fused step time on the quadruped
-benchmark (benchmarks/profile_phases.py). Expressed per-env under vmap, the
+The constraint solve is ~48% of the fused step's device self time on the
+quadruped benchmark (542 of 1121 us/step at batch 4096 — bench.py's
+hlo_stats in-graph attribution, the per-op profile that measures the real
+fused rollout rather than per-phase dispatch). Expressed per-env under vmap, the
 batch axis is major, so every (nv x nv) / (nefc x nv) operand puts tiny
 dimensions (nv ~ 18) on the 128-wide lane axis — ~14% lane utilization and
 dozens of small kernels per Newton iteration. This kernel transposes the

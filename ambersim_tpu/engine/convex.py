@@ -318,7 +318,9 @@ def hull_hull(h1: Hull, h2: Hull, ncon: int):
     # one-hot contraction, not take_along_axis: per-env gathers under the
     # big env vmap run row-at-a-time on TPU (~1.6 ms of the clutter rowcap
     # step across these two sites, hlo_stats); the one-hot einsum is a
-    # batched matmul and exact (single unit entry per selected row)
+    # batched matmul and exact (single unit entry per selected row). A/B on
+    # the 496-pair exact-allpairs config measured no downside (2,643 one-hot
+    # vs 2,568 gathers env steps/s).
     C = cand.shape[-2]
     onehot = (
         sel_idx[..., :, None] == jnp.arange(C, dtype=sel_idx.dtype)

@@ -157,11 +157,18 @@ def train(
     training_state = jax.device_put(training_state, replicated)
 
     def rollout_loss(policy_params, normalizer_params, env_state, key):
-        """-mean per-env episode return, differentiated through the sim."""
+        """-mean per-env episode return, differentiated through the sim.
+
+        The scan carries the slim state (rl/wrappers.py make_slim_carry):
+        besides the forward-pass traffic, under jax.checkpoint the carry is
+        a per-step RESIDUAL, so dropping the two full Data pytrees from it
+        shrinks rematerialization memory by ~150x per step."""
+        to_slim, from_slim = wrappers.make_slim_carry(env_state)
 
         @jax.checkpoint
         def env_step(carry, _):
-            env_state, key = carry
+            slim, key = carry
+            env_state = from_slim(slim)
             key, key_sample = jax.random.split(key)
             logits = apg_network.policy_network.apply(normalizer_params, policy_params, env_state.obs)
             if deterministic_rollout:
@@ -169,12 +176,12 @@ def train(
             else:
                 action = dist.sample(logits, key_sample)
             env_state = env.step(env_state, action)
-            return (env_state, key), (env_state.reward, env_state.obs)
+            return (to_slim(env_state), key), (env_state.reward, env_state.obs)
 
-        (env_state, _), (rewards, obs) = jax.lax.scan(
-            env_step, (env_state, key), None, length=episode_length // action_repeat
+        (slim, _), (rewards, obs) = jax.lax.scan(
+            env_step, (to_slim(env_state), key), None, length=episode_length // action_repeat
         )
-        return -jnp.mean(jnp.sum(rewards, axis=0)), (env_state, obs)
+        return -jnp.mean(jnp.sum(rewards, axis=0)), (from_slim(slim), obs)
 
     loss_grad = jax.value_and_grad(rollout_loss, has_aux=True)
 

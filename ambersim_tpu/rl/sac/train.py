@@ -246,47 +246,53 @@ def train(
         buffer_state = replay.insert(buffer_state, transitions)
         return training_state, next_state, buffer_state, key
 
+    # Both per-env-step scans carry the wrapped State with a minimal slim
+    # carry (rl/wrappers.py make_slim_carry: the AutoReset cache is
+    # scan-invariant and hoisted; only dynamic Data fields ride the carry).
     @jax.jit
     def prefill(training_state, env_state, buffer_state, key):
         env_state = shard_env_state(env_state)
+        to_slim, from_slim = wrappers.make_slim_carry(env_state)
 
         def body(carry, _):
-            training_state, env_state, buffer_state, key = carry
+            training_state, slim, buffer_state, key = carry
             training_state, env_state, buffer_state, key = actor_step(
-                training_state, env_state, buffer_state, key, random_actions=True
+                training_state, from_slim(slim), buffer_state, key, random_actions=True
             )
-            return (training_state, env_state, buffer_state, key), None
+            return (training_state, to_slim(env_state), buffer_state, key), None
 
-        (training_state, env_state, buffer_state, _), _ = jax.lax.scan(
+        (training_state, slim, buffer_state, _), _ = jax.lax.scan(
             body,
-            (training_state, env_state, buffer_state, key),
+            (training_state, to_slim(env_state), buffer_state, key),
             None,
             length=num_prefill_actor_steps,
         )
-        return training_state, env_state, buffer_state
+        return training_state, from_slim(slim), buffer_state
 
-    def training_step(carry, _):
-        training_state, env_state, buffer_state, key = carry
+    def training_step(carry, _, *, from_slim, to_slim):
+        training_state, slim, buffer_state, key = carry
         key, key_act, key_sgd = jax.random.split(key, 3)
         training_state, env_state, buffer_state, _ = actor_step(
-            training_state, env_state, buffer_state, key_act, random_actions=False
+            training_state, from_slim(slim), buffer_state, key_act, random_actions=False
         )
         (training_state, buffer_state, _), metrics = jax.lax.scan(
             sgd_step, (training_state, buffer_state, key_sgd), None, length=grad_updates_per_step
         )
         training_state = training_state.replace(train_iters=training_state.train_iters + 1)
-        return (training_state, env_state, buffer_state, key), jax.tree.map(jnp.mean, metrics)
+        return (training_state, to_slim(env_state), buffer_state, key), jax.tree.map(jnp.mean, metrics)
 
     @jax.jit
     def training_epoch(training_state, env_state, buffer_state, key):
         env_state = shard_env_state(env_state)
-        (training_state, env_state, buffer_state, _), metrics = jax.lax.scan(
-            training_step,
-            (training_state, env_state, buffer_state, key),
+        to_slim, from_slim = wrappers.make_slim_carry(env_state)
+        step_fn = functools.partial(training_step, from_slim=from_slim, to_slim=to_slim)
+        (training_state, slim, buffer_state, _), metrics = jax.lax.scan(
+            step_fn,
+            (training_state, to_slim(env_state), buffer_state, key),
             None,
             length=num_training_steps_per_epoch,
         )
-        return training_state, env_state, buffer_state, jax.tree.map(jnp.mean, metrics)
+        return training_state, from_slim(slim), buffer_state, jax.tree.map(jnp.mean, metrics)
 
     eval_env = wrappers.wrap_for_training(environment, episode_length, action_repeat)
 

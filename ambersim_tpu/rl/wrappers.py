@@ -155,6 +155,49 @@ class DomainRandomizationVmapWrapper(Wrapper):
         return jax.vmap(step_fn, in_axes=[self.in_axes, 0, 0])(self.model_v, state, action)
 
 
+def make_slim_carry(env_state: State):
+    """(to_slim, from_slim) pair for scanning wrapped env state with a
+    minimal carry.
+
+    lax.scan copies its carry every iteration, and a wrapped State drags TWO
+    full Data pytrees through it: the live physics state and AutoReset's
+    cached reset state in `info` (~32.7 kB/env each on the quadruped vs
+    ~0.2 kB of actually-dynamic fields). The cache is scan-INVARIANT — it is
+    hoisted out of the carry entirely (closed over) — and the live Data is
+    carried as its dynamic fields only, reconstituted from a template each
+    step: every derived buffer (efc rows, contacts, mass matrices) is
+    recomputed by step() anyway. This is engine/rollout.py's minimal-carry
+    design one level up; measured +20% on the 4096-env quadruped PPO rung.
+
+    Build the pair INSIDE the jit from the scan's initial state, carry
+    `to_slim(state)`, and call `from_slim` before each env.step."""
+    template = env_state.pipeline_state
+    hoisted = {
+        k: env_state.info[k]
+        for k in ("first_pipeline_state", "first_obs")
+        if k in env_state.info
+    }
+    slim_fields = ("qpos", "qvel", "act", "qacc_warmstart", "time")
+
+    def to_slim(state: State):
+        return (
+            tuple(getattr(state.pipeline_state, f) for f in slim_fields),
+            state.replace(
+                pipeline_state=None,
+                info={k: v for k, v in state.info.items() if k not in hoisted},
+            ),
+        )
+
+    def from_slim(slim) -> State:
+        dyn, state = slim
+        return state.replace(
+            pipeline_state=template.replace(**dict(zip(slim_fields, dyn))),
+            info={**state.info, **hoisted},
+        )
+
+    return to_slim, from_slim
+
+
 def wrap_for_training(
     env: MjxEnv, episode_length: int, action_repeat: int = 1, randomization_fn=None
 ) -> MjxEnv:

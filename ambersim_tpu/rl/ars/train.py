@@ -103,12 +103,15 @@ def train(
     training_state = jax.device_put(training_state, replicated)
 
     def rollout_returns(pop_params, normalizer_params, key):
-        """Episode return per candidate (one env per candidate)."""
+        """Episode return per candidate (one env per candidate).
+        Scans the slim carry (rl/wrappers.py make_slim_carry)."""
         state = env.reset(jax.random.split(key, num_candidates))
         state = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), state)
+        to_slim, from_slim = wrappers.make_slim_carry(state)
 
         def step(carry, _):
-            state, active, total, raw = carry
+            slim, active, total, raw = carry
+            state = from_slim(slim)
             logits = jax.vmap(
                 lambda p, o: ars_network.policy_network.apply(normalizer_params, p, o)
             )(pop_params, state.obs)
@@ -116,12 +119,12 @@ def train(
             total = total + (state.reward - reward_shift) * active
             raw = raw + state.reward * active
             active = active * (1 - state.done)
-            return (state, active, total, raw), state.obs
+            return (to_slim(state), active, total, raw), state.obs
 
         zeros = jnp.zeros(num_candidates)
         (_, _, total, raw), obs = jax.lax.scan(
             step,
-            (state, jnp.ones(num_candidates), zeros, zeros),
+            (to_slim(state), jnp.ones(num_candidates), zeros, zeros),
             None,
             length=episode_length // action_repeat,
         )

@@ -110,13 +110,16 @@ def train(
     training_state = jax.device_put(training_state, replicated)
 
     def rollout_returns(pop_params, normalizer_params, key):
-        """Episode return per population member (one env per member)."""
+        """Episode return per population member (one env per member).
+        Scans the slim carry (rl/wrappers.py make_slim_carry)."""
         key_reset, key_roll = jax.random.split(key)
         state = env.reset(jax.random.split(key_reset, population_size))
         state = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), state)
+        to_slim, from_slim = wrappers.make_slim_carry(state)
 
         def step(carry, _):
-            state, active, total = carry
+            slim, active, total = carry
+            state = from_slim(slim)
             logits = jax.vmap(
                 lambda p, o: es_network.policy_network.apply(normalizer_params, p, o)
             )(pop_params, state.obs)
@@ -124,11 +127,11 @@ def train(
             state = env.step(state, action)
             total = total + state.reward * active
             active = active * (1 - state.done)
-            return (state, active, total), state.obs
+            return (to_slim(state), active, total), state.obs
 
         (_, _, total), obs = jax.lax.scan(
             step,
-            (state, jnp.ones(population_size), jnp.zeros(population_size)),
+            (to_slim(state), jnp.ones(population_size), jnp.zeros(population_size)),
             None,
             length=episode_length // action_repeat,
         )

@@ -835,8 +835,11 @@ def collision(m: Model, d: Data) -> Data:
         ).astype(dist_all.dtype)
 
         def take(x):
+            # precision=HIGHEST: TPU f32 dots default to bf16 operands, which
+            # would round dist/pos/frame to ~8 mantissa bits and corrupt geom
+            # ids above 256; exact-f32 is cheap here (one operand is one-hot).
             flat = x.reshape(ncand, -1)
-            out = onehot @ flat
+            out = jnp.matmul(onehot, flat, precision=jax.lax.Precision.HIGHEST)
             return out.reshape((s.ncon,) + x.shape[1:])
 
         dist_all = take(dist_all)
@@ -847,8 +850,8 @@ def collision(m: Model, d: Data) -> Data:
         solimp_all = take(solimp_all)
         margin_all = take(margin_all)
         gap_all = take(gap_all)
-        geom1_all = take(geom1_all.astype(dist_all.dtype)).astype(geom1_all.dtype)
-        geom2_all = take(geom2_all.astype(dist_all.dtype)).astype(geom2_all.dtype)
+        geom1_all = jnp.round(take(geom1_all.astype(dist_all.dtype))).astype(geom1_all.dtype)
+        geom2_all = jnp.round(take(geom2_all.astype(dist_all.dtype))).astype(geom2_all.dtype)
 
     contact = Contact(
         dist=dist_all,

@@ -547,11 +547,19 @@ def make_constraint(m: Model, d: Data) -> Data:
             geom_iota = jnp.arange(gsup.shape[0], dtype=c.geom1.dtype)
             sel1 = (c.geom1[:, None] == geom_iota).astype(dtype)
             sel2 = (c.geom2[:, None] == geom_iota).astype(dtype)
-            signed_sup = (sel2 - sel1) @ gsup  # (ncon, nv)
+            # precision=HIGHEST: TPU f32 dots default to bf16 operands; the
+            # selected support/invweight values feed Jacobian assembly and
+            # must keep full f32 mantissas (the one-hot operand is tiny, so
+            # exact precision costs nothing).
+            signed_sup = jnp.matmul(
+                sel2 - sel1, gsup, precision=jax.lax.Precision.HIGHEST
+            )  # (ncon, nv)
             # per-geom invweight table (static geom->body map, traced values);
             # the same one-hots select it
             biw_geom = jnp.asarray(m.body_invweight0)[np.asarray(s.geom_bodyid), 0]
-            invweight = (sel1 + sel2) @ biw_geom.astype(dtype)  # (ncon,)
+            invweight = jnp.matmul(
+                sel1 + sel2, biw_geom.astype(dtype), precision=jax.lax.Precision.HIGHEST
+            )  # (ncon,)
         jframe = _frame_rows(c.frame, _point_jac_rows(m, d, c.pos, signed_sup))  # 3 x (ncon, nv)
         pos_c = c.dist - c.includemargin
         k, b, imp = _kbi(m, c.solref, c.solimp, pos_c)

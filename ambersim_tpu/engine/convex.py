@@ -325,8 +325,14 @@ def hull_hull(h1: Hull, h2: Hull, ncon: int):
     onehot = (
         sel_idx[..., :, None] == jnp.arange(C, dtype=sel_idx.dtype)
     ).astype(cdist.dtype)  # (..., ncon, C)
-    face_dist = jnp.einsum("...kc,...c->...k", onehot, cdist)
-    face_pos = jnp.einsum("...kc,...ci->...ki", onehot, cpos)
+    # precision=HIGHEST: TPU f32 einsums default to bf16 operands; these
+    # select exact contact dist/pos rows (one-hot operand, so exact is free).
+    face_dist = jnp.einsum(
+        "...kc,...c->...k", onehot, cdist, precision=jax.lax.Precision.HIGHEST
+    )
+    face_pos = jnp.einsum(
+        "...kc,...ci->...ki", onehot, cpos, precision=jax.lax.Precision.HIGHEST
+    )
     # a face-case contact with no valid candidate at all (grazing corner):
     # fall back to the support points along n
     any_ok = jnp.any(ok, axis=-1)

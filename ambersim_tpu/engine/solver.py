@@ -535,7 +535,10 @@ def _newton_dispatch(
         ]
         J, bJ, dsc, qM, aref, D, fl, act, a_s, ws = args
         if in_batched[10]:
-            tol = tol[0]  # tolerance is env-invariant
+            # single SMEM scalar in the kernel; collapse conservatively (min)
+            # so DR-randomized body_mass never converges an env early on env
+            # 0's tolerance
+            tol = jnp.min(tol)
         if jax.devices()[0].platform == "tpu" and J.ndim == 3:
             import os
 
@@ -796,11 +799,14 @@ def _newton_dispatch_elliptic(
         ]
         J, qM, aref, D, fl, act, a_s, ws = args
         if in_batched[8]:
-            tol = tol[0]  # env-invariant
+            # tol is a single SMEM scalar in the kernel; if it rides the batch
+            # (randomized body_mass under DR), collapse conservatively — min
+            # keeps every env iterating at least as long as its own tolerance
+            # would, never converging a randomized env early on env 0's value.
+            tol = jnp.min(tol)
         if not in_batched[9]:
             fr = jnp.broadcast_to(fr, (axis_size,) + fr.shape)
-        if in_batched[10]:
-            impratio = impratio[0]
+        imp_batched = bool(in_batched[10])
         nefc = J.shape[1]
         nv = J.shape[2]
         from ambersim_tpu.ops.newton_pallas import elliptic_fits_vmem
@@ -812,9 +818,11 @@ def _newton_dispatch_elliptic(
         ):
             from ambersim_tpu.ops.newton_pallas import newton_solve_elliptic
 
+            # newton_solve_elliptic folds scalar OR per-env impratio into the
+            # batched mu/scale planes — no collapse to env 0's value
             out = newton_solve_elliptic(J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio, **statics)
         else:
-            out = jax.vmap(primal, in_axes=(0,) * 8 + (None, 0, None))(
+            out = jax.vmap(primal, in_axes=(0,) * 8 + (None, 0, 0 if imp_batched else None))(
                 J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio
             )
         return out, (True, True, True)

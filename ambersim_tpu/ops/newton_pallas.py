@@ -826,13 +826,17 @@ def _elliptic_kernel(
     Dfr = D[nh + S :]                # (nfr*S, B) friction-row D
     sc2 = scale * scale
 
-    # head-row masks (same families as the pyramidal kernel)
-    row = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0)
-    is_eq = (row < ne).astype(dtype)
-    is_fric = ((row >= ne) & (row < ne + nf)).astype(dtype)
-    one_sided = 1.0 - is_eq - is_fric
-    not_fric = 1.0 - is_fric
-    D_h, fl_h, act_h = D[:nh], fl[:nh], act[:nh]
+    # head-row masks (same families as the pyramidal kernel). nh == 0 models
+    # (no equality/dof-friction/limit rows, e.g. a free sphere on a plane)
+    # skip every head-row term statically — Mosaic rejects zero-size vector
+    # types, so the guards must be Python-level, not masked arithmetic.
+    if nh:
+        row = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0)
+        is_eq = (row < ne).astype(dtype)
+        is_fric = ((row >= ne) & (row < ne + nf)).astype(dtype)
+        one_sided = 1.0 - is_eq - is_fric
+        not_fric = 1.0 - is_fric
+        D_h, fl_h, act_h = D[:nh], fl[:nh], act[:nh]
 
     def jmul(x):
         return (J * x[None, :, :]).sum(axis=1)
@@ -886,7 +890,10 @@ def _elliptic_kernel(
     def total_cost(qacc, jar):
         dacc = qacc - a_s
         smooth = 0.5 * (dacc * mmul(dacc)).sum(axis=0)
-        return smooth + head_cost(jar[:nh]).sum(axis=0) + cone_cost(jar).sum(axis=0)
+        out = smooth + cone_cost(jar).sum(axis=0)
+        if nh:
+            out = out + head_cost(jar[:nh]).sum(axis=0)
+        return out
 
     def cone_force(jar):
         """Force on contact rows in kernel order: (S + nfr*S, B)."""
@@ -925,8 +932,11 @@ def _elliptic_kernel(
 
     def newton_body(carry):
         qacc, jar, cost, prev_cost = carry
-        force_h, h_h = head_force_quadD(jar[:nh])
-        force = jnp.concatenate([force_h, cone_force(jar)], axis=0)
+        if nh:
+            force_h, h_h = head_force_quadD(jar[:nh])
+            force = jnp.concatenate([force_h, cone_force(jar)], axis=0)
+        else:
+            force = cone_force(jar)
         Mdacc = mmul(qacc - a_s)
         grad = Mdacc - jtmul(force)
 
@@ -965,7 +975,7 @@ def _elliptic_kernel(
                 w = Wkk[(min(kk, jj), max(kk, jj))]
                 sb = sb + w[:, None, :] * RT[jj]
             SBs.append(sb)
-        JW = jnp.concatenate([J[:nh] * h_h[:, None, :]] + SBs, axis=0)
+        JW = jnp.concatenate(([J[:nh] * h_h[:, None, :]] if nh else []) + SBs, axis=0)
         H = M + eye_reg
         rows = [(J[:, v : v + 1, :] * JW).sum(axis=0) for v in range(n)]
         H = H + jnp.stack(rows, axis=0)
@@ -992,12 +1002,17 @@ def _elliptic_kernel(
         for k in range(nfr):
             jk = jp_fr[k * S : (k + 1) * S]
             h_bot = h_bot + Dfr[k * S : (k + 1) * S] * jk * jk
-        jar_h, jp_h = jar[:nh], jp[:nh]
+        if nh:
+            jar_h, jp_h = jar[:nh], jp[:nh]
 
         def ls_body(_, t):
-            force_t, h_t = head_force_quadD(jar_h + t[None, :] * jp_h)
-            g = pma + t * pmp - (force_t * jp_h).sum(axis=0)
-            hh = pmp + (h_t * jp_h * jp_h).sum(axis=0)
+            if nh:
+                force_t, h_t = head_force_quadD(jar_h + t[None, :] * jp_h)
+                g = pma + t * pmp - (force_t * jp_h).sum(axis=0)
+                hh = pmp + (h_t * jp_h * jp_h).sum(axis=0)
+            else:
+                g = pma + t * pmp
+                hh = pmp
             T2t = jnp.maximum(aq + 2.0 * bq * t[None, :] + cq * t[None, :] * t[None, :], 1e-24)
             Tt = jnp.sqrt(T2t)
             Tp = (bq + cq * t[None, :]) / Tt
@@ -1045,8 +1060,11 @@ def _elliptic_kernel(
         carry = jax.lax.fori_loop(0, iterations, lambda _, c: newton_body(c), carry)
     qacc, jar = carry[0], carry[1]
 
-    force_h, _ = head_force_quadD(jar[:nh])
-    force = jnp.concatenate([force_h, cone_force(jar)], axis=0)
+    if nh:
+        force_h, _ = head_force_quadD(jar[:nh])
+        force = jnp.concatenate([force_h, cone_force(jar)], axis=0)
+    else:
+        force = cone_force(jar)
     qacc_ref[...] = qacc
     force_ref[...] = force  # kernel row order; caller inverse-permutes
     qfrc_ref[...] = jtmul(force)
@@ -1092,11 +1110,13 @@ def newton_solve_elliptic(
     )
     kinv = np.argsort(perm)
 
-    # mu-scaled cone parameters (engine/solver.py _elliptic_zone algebra)
+    # mu-scaled cone parameters (engine/solver.py _elliptic_zone algebra).
+    # impratio may be scalar or per-env (Bt,) under domain randomization —
+    # it folds into the mu/scale planes, which ride the batch anyway.
     mu0 = jnp.maximum(friction[..., 0], 1e-12)  # (Bt, S)
-    sq = jnp.sqrt(impratio.astype(dtype))
+    sq = jnp.sqrt(jnp.broadcast_to(impratio, (b,)).astype(dtype))[:, None]  # (Bt, 1)
     mu = mu0 / sq
-    scale = friction[..., :nfr] / mu0[..., None] * sq  # (Bt, S, nfr)
+    scale = friction[..., :nfr] / mu0[..., None] * sq[..., None]  # (Bt, S, nfr)
     scale_k = jnp.moveaxis(scale, -1, 1).reshape(b, nfr * S)  # dim-major stack
 
     if tile is None:

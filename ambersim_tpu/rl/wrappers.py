@@ -155,9 +155,19 @@ class DomainRandomizationVmapWrapper(Wrapper):
         return jax.vmap(step_fn, in_axes=[self.in_axes, 0, 0])(self.model_v, state, action)
 
 
-def make_slim_carry(env_state: State):
+def make_slim_carry(env_state: State, extra_fields: tuple = ()):
     """(to_slim, from_slim) pair for scanning wrapped env state with a
     minimal carry.
+
+    CONTRACT: every Data field NOT in the carry is frozen to its value in
+    the scan-initial template. Derived buffers (efc rows, contacts, mass
+    matrices) are recomputed by step() so freezing them is free — but
+    *input* fields step() reads without recomputing (`xfrc_applied`,
+    `qfrc_applied`, `ctrl` outside the action path) are frozen too: an env
+    that applies perturbation forces inside step() must pass them via
+    `extra_fields` or its writes are silently dropped. `mocap_pos`/
+    `mocap_quat` are carried automatically whenever the model has mocap
+    bodies (static shape check).
 
     lax.scan copies its carry every iteration, and a wrapped State drags TWO
     full Data pytrees through it: the live physics state and AutoReset's
@@ -178,6 +188,11 @@ def make_slim_carry(env_state: State):
         if k in env_state.info
     }
     slim_fields = ("qpos", "qvel", "act", "qacc_warmstart", "time")
+    # nmocap > 0 is a static shape property: carry mocap targets whenever the
+    # model has mocap bodies, since envs drive them per-step by construction
+    if getattr(template, "mocap_pos", None) is not None and template.mocap_pos.shape[-2] > 0:
+        slim_fields = slim_fields + ("mocap_pos", "mocap_quat")
+    slim_fields = slim_fields + tuple(f for f in extra_fields if f not in slim_fields)
 
     def to_slim(state: State):
         return (

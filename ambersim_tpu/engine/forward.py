@@ -85,3 +85,19 @@ def step(m: Model, d: Data) -> Data:
     if m.opt.integrator == int(IntegratorType.IMPLICITFAST):
         return integrate.implicitfast(m, d)
     return integrate.euler(m, d)
+
+
+# Persistent jitted entry points: tracing the engine body is the dominant
+# Python cost of every outer jit (reset / training epoch / eval are three
+# separate step-class graphs in PPO, and rollout() binds step twice per
+# trace). A module-level pjit caches the traced jaxpr by (skel, leaf avals),
+# so the engine is traced ONCE per model per process and every later outer
+# graph pays only an aval-keyed cache hit + jaxpr batching. XLA inlines the
+# nested call — compiled code and runtime are unchanged. Close models over
+# jitted callers as before; calling these EAGERLY on TPU transfers the host
+# model leaves per call (seconds over a tunneled chip) — keep eager use to
+# tests.
+import jax as _jax
+
+step_jit = _jax.jit(step)
+forward_jit = _jax.jit(forward)

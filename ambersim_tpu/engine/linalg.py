@@ -206,9 +206,21 @@ def cho_solve_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# jit-wrapped unrolled bodies: custom_vmap re-traces its primal on EVERY
+# call (jax traces `fun` to a jaxpr in __call__ with no cache), and the
+# unrolled factor/solve is n straight-line steps of Python tracing. Binding
+# a jitted inner function instead makes the per-call trace a single pjit
+# bind whose jaxpr is cached by avals — across calls AND across the
+# reset/epoch/eval outer graphs (the time-to-first-update lever,
+# VERDICT r4 #1). XLA inlines nested jits, so compiled code is unchanged.
+_cholesky_unrolled_jit = jax.jit(cholesky_unrolled)
+_cho_solve_unrolled_jit = jax.jit(cho_solve_unrolled)
+_solve_pd_unrolled_jit = jax.jit(lambda a, b: cho_solve_unrolled(cholesky_unrolled(a), b))
+
+
 @jax.custom_batching.custom_vmap
 def _cholesky_cv(a: jax.Array) -> jax.Array:
-    return cholesky_unrolled(a)
+    return _cholesky_unrolled_jit(a)
 
 
 @_cholesky_cv.def_vmap
@@ -219,12 +231,12 @@ def _cholesky_vmap(axis_size, in_batched, a):
         from ambersim_tpu.ops.linalg_pallas import cholesky_batched
 
         return cholesky_batched(a), True
-    return cholesky_unrolled(a), True
+    return _cholesky_unrolled_jit(a), True
 
 
 @jax.custom_batching.custom_vmap
 def _cho_solve_cv(l: jax.Array, b: jax.Array) -> jax.Array:
-    return cho_solve_unrolled(l, b)
+    return _cho_solve_unrolled_jit(l, b)
 
 
 @_cho_solve_cv.def_vmap
@@ -237,12 +249,12 @@ def _cho_solve_vmap(axis_size, in_batched, l, b):
         from ambersim_tpu.ops.linalg_pallas import cho_solve_batched
 
         return cho_solve_batched(l, b), True
-    return cho_solve_unrolled(l, b), True
+    return _cho_solve_unrolled_jit(l, b), True
 
 
 @jax.custom_batching.custom_vmap
 def _solve_pd_cv(a: jax.Array, b: jax.Array) -> jax.Array:
-    return cho_solve_unrolled(cholesky_unrolled(a), b)
+    return _solve_pd_unrolled_jit(a, b)
 
 
 @_solve_pd_cv.def_vmap
@@ -255,7 +267,7 @@ def _solve_pd_vmap(axis_size, in_batched, a, b):
         from ambersim_tpu.ops.linalg_pallas import solve_pd_batched
 
         return solve_pd_batched(a, b), True
-    return cho_solve_unrolled(cholesky_unrolled(a), b), True
+    return _solve_pd_unrolled_jit(a, b), True
 
 
 def differentiable_dispatch(cv_fn, ref_fn):

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ambersim_tpu.core.types import Data, Model
-from ambersim_tpu.engine.forward import step
+from ambersim_tpu.engine.forward import step_jit as step
 
 _CARRY_FIELDS = ("qpos", "qvel", "act", "qacc_warmstart", "time")
 

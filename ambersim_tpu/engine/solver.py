@@ -520,7 +520,13 @@ def _newton_dispatch(
     statics = dict(
         ne=ne, nf=nf, iterations=iterations, ls_iterations=ls_iterations, use_ws=use_ws
     )
-    primal = functools.partial(_newton_arrays_jnp, **statics)
+    # jit the primal: custom_vmap + custom_vjp re-trace it on every bind
+    # (4x per step graph, 3 step-class graphs in PPO), and the unrolled
+    # Newton-iteration x line-search body is the most expensive Python trace
+    # in the engine (~half the step-graph trace time). As a pjit, the trace
+    # happens once and every later bind is an aval-keyed cache hit; XLA
+    # inlines the nested call, so compiled code is unchanged.
+    primal = jax.jit(functools.partial(_newton_arrays_jnp, **statics))
 
     @jax.custom_batching.custom_vmap
     def fn(J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol):
@@ -784,7 +790,8 @@ def _newton_dispatch_elliptic(
         ne=ne, nf=nf, base=base, ncon=ncon, cdim=cdim,
         iterations=iterations, ls_iterations=ls_iterations, use_ws=use_ws,
     )
-    primal = functools.partial(_newton_arrays_elliptic_jnp, **statics)
+    # jit for trace caching across binds/graphs (see _newton_dispatch note)
+    primal = jax.jit(functools.partial(_newton_arrays_elliptic_jnp, **statics))
 
     @jax.custom_batching.custom_vmap
     def fn(J, qM, aref, D, fl, act, a_s, ws, tol, fr, impratio):

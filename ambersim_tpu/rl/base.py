@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ambersim_tpu.core.types import Data, Model
-from ambersim_tpu.engine import forward as _forward
+from ambersim_tpu.engine.forward import forward_jit as _forward
 from ambersim_tpu.engine import make_data
 from ambersim_tpu.engine import step as _step
 

@@ -296,6 +296,25 @@ def train(
     metrics: Dict[str, Any] = {}
     key, key_envs = jax.random.split(key)
     env_keys = jax.random.split(key_envs, num_envs)
+
+    # Overlap the first-use compiles (the time-to-first-update lever,
+    # VERDICT r4 #1): reset, the pre-training eval, and the epoch are three
+    # independent jit graphs whose XLA compiles release the GIL, so a worker
+    # thread compiling+running the initial eval runs concurrently with the
+    # main thread's reset + epoch trace/compile. Tracing itself stays
+    # effectively serial (GIL), but the engine jaxpr is shared through the
+    # module-level step/forward pjit caches, so the traces are cheap; the
+    # compiles — the dominant cost — overlap. Results are identical: the
+    # initial eval depends only on the initial training_state.
+    current_step = 0
+    eval_box: list = []
+
+    def _initial_eval():
+        try:
+            eval_box.append(("ok", run_evaluation(training_state, key_eval)))
+        except BaseException as e:  # re-raised on the main thread
+            eval_box.append(("err", e))
+
     env_state = jax.jit(env.reset)(env_keys)
     # Commit the initial env state to the epoch's exact input sharding:
     # jit keys its executable cache on the ACTUAL argument shardings even
@@ -305,15 +324,30 @@ def train(
     # quadruped bench; jax 0.9.0).
     env_state = jax.device_put(env_state, batch_sharding)
 
-    current_step = 0
+    eval_thread = None
     if num_evals > 1:
-        episode_reward = run_evaluation(training_state, key_eval)
-        metrics = {"eval/episode_reward": float(episode_reward)}
-        progress_fn(0, metrics)
+        import threading
 
+        # start after reset: its trace warmed the engine pjit caches, so the
+        # eval trace is cheap and its compile overlaps the epoch's
+        eval_thread = threading.Thread(target=_initial_eval, daemon=True)
+        eval_thread.start()
+
+    first_epoch = True
     for _ in range(num_evals_after_init):
         key, epoch_key = jax.random.split(key)
         training_state, env_state, train_metrics = training_epoch(training_state, env_state, epoch_key)
+        if first_epoch:
+            first_epoch = False
+            if eval_thread is not None:
+                # join AFTER dispatching the epoch: its compile overlapped the
+                # eval's; report the step-0 eval before the epoch's progress
+                eval_thread.join()
+                status, payload = eval_box[0]
+                if status == "err":
+                    raise payload
+                metrics = {"eval/episode_reward": float(payload)}
+                progress_fn(0, metrics)
 
         key, key_eval = jax.random.split(key)
         episode_reward = run_evaluation(training_state, key_eval)

@@ -108,6 +108,7 @@ _DEMOTED_TO_SLOW = (
     'test_fluid.py::test_fluid_passive_parity',
     'test_fluid.py::test_gravcomp_parity',
     'test_fuzz_parity.py::test_fuzz_parity[10]',
+    'test_fuzz_parity.py::test_fuzz_parity_elliptic[3-4-4.0]',
     'test_fuzz_parity.py::test_fuzz_parity[2]',
     'test_fuzz_parity.py::test_fuzz_parity[3]',
     'test_hfield.py::test_hfield_sphere_depth_parity',

@@ -26,15 +26,26 @@ from ambersim_tpu.mjcf import compile_spec
 from ambersim_tpu.mjcf.parser import parse_mjcf_string
 
 
-def random_model_xml(seed, base_z=1.0):
+def random_model_xml(seed, base_z=1.0, cone=None, condim=None, impratio=None):
     """Random kinematic chain: 2-4 bodies, mixed joint types, mixed geoms,
-    optional floor + free base, random inertial/actuation parameters."""
+    optional floor + free base, random inertial/actuation parameters.
+
+    `cone`/`condim`/`impratio` pin the friction-cone configuration (elliptic
+    sweeps); condim is applied uniformly so elliptic models compile to the
+    single-condim contiguous tail the fused kernel dispatches on."""
     rng = np.random.default_rng(seed)
     nbody = int(rng.integers(2, 5))
     floor = bool(rng.random() < 0.5)
+    if cone is not None:
+        floor = True  # cone sweeps need contacts to exercise anything
     free_base = floor and bool(rng.random() < 0.5)
+    opt = '<option timestep="0.002" iterations="8" ls_iterations="10"'
+    if cone is not None:
+        opt += f' cone="{cone}"'
+    if impratio is not None:
+        opt += f' impratio="{impratio}"'
     lines = [
-        '<mujoco><option timestep="0.002" iterations="8" ls_iterations="10"/>',
+        "<mujoco>" + opt + "/>",
         '<compiler angle="radian"/>',
         "<worldbody>",
     ]
@@ -57,6 +68,11 @@ def random_model_xml(seed, base_z=1.0):
             a += f' friction="{f3[0]:.3f} {f3[1]:.4f} {f3[2]:.5f}"'
         if rng.random() < 0.3:
             a += f' solref="{rng.uniform(0.015, 0.04):.4f} {rng.uniform(0.9, 1.1):.2f}"'
+        if condim is not None:
+            a += f' condim="{condim}"'
+            if condim >= 4 and "friction=" not in a:
+                # make torsional (and rolling, condim 6) friction bite
+                a += f' friction="1.0 {rng.uniform(0.002, 0.02):.4f} {rng.uniform(0.0001, 0.001):.5f}"'
         return a
 
     if floor:
@@ -111,9 +127,9 @@ def random_model_xml(seed, base_z=1.0):
     return "\n".join(lines)
 
 
-def _build_pair(seed):
+def _build_pair(seed, **kw):
     """Compile the seed's model in both engines, floor clearance ~2 cm."""
-    xml = random_model_xml(seed)
+    xml = random_model_xml(seed, **kw)
     mj_model = mujoco.MjModel.from_xml_string(xml)
     if mj_model.ngeom and mj_model.nv and int(mj_model.geom_type[0]) == int(mujoco.mjtGeom.mjGEOM_PLANE):
         # measure the chain's lowest bounding point at qpos0, re-generate
@@ -121,14 +137,14 @@ def _build_pair(seed):
         mj_data = mujoco.MjData(mj_model)
         mujoco.mj_forward(mj_model, mj_data)
         low = (mj_data.geom_xpos[1:, 2] - mj_model.geom_rbound[1:]).min()
-        xml = random_model_xml(seed, base_z=1.0 - low + 0.02)
+        xml = random_model_xml(seed, base_z=1.0 - low + 0.02, **kw)
         mj_model = mujoco.MjModel.from_xml_string(xml)
     m = set_constants(compile_spec(parse_mjcf_string(xml)))
     return mj_model, m
 
 
-def _run_case(seed, nsteps):
-    mj_model, m = _build_pair(seed)
+def _run_case(seed, nsteps, **kw):
+    mj_model, m = _build_pair(seed, **kw)
     rng = np.random.default_rng(seed + 1000)
     ctrl = rng.uniform(-0.5, 0.5, mj_model.nu)
     qvel0 = 0.2 * rng.standard_normal(mj_model.nv)
@@ -145,6 +161,14 @@ def _run_case(seed, nsteps):
     scale = max(1.0, float(np.abs(mj_data.qacc).max()))
     np.testing.assert_allclose(
         np.asarray(df.qacc), mj_data.qacc, atol=2e-3 * scale, err_msg=f"seed {seed} qacc"
+    )
+    # constraint-force parity, row-order-free: qfrc_constraint = J^T @ efc_force
+    fscale = max(1.0, float(np.abs(mj_data.qfrc_constraint).max()))
+    np.testing.assert_allclose(
+        np.asarray(df.qfrc_constraint),
+        mj_data.qfrc_constraint,
+        atol=5e-3 * fscale,
+        err_msg=f"seed {seed} qfrc_constraint",
     )
 
     # trajectory parity through gentle impacts
@@ -178,3 +202,31 @@ def test_fuzz_parity(seed):
 @pytest.mark.parametrize("seed", list(range(24)))
 def test_fuzz_parity_wide(seed):
     _run_case(seed, nsteps=100)
+
+
+# ---- elliptic-cone sweep (the recommended fast path deserves the same
+# randomized oracle coverage as pyramidal; condim 1/3/4/6 x impratio) ----
+
+
+@pytest.mark.parametrize("seed,condim,impratio", [(1, 3, 1.0), (3, 4, 4.0)])
+def test_fuzz_parity_elliptic(seed, condim, impratio):
+    _run_case(seed, nsteps=50, cone="elliptic", condim=condim, impratio=impratio)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("impratio", [1.0, 4.0])
+@pytest.mark.parametrize("condim", [1, 3, 4, 6])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 7])
+def test_fuzz_parity_elliptic_wide(seed, condim, impratio):
+    _run_case(seed, nsteps=100, cone="elliptic", condim=condim, impratio=impratio)
+
+
+@pytest.mark.slow
+def test_fuzz_elliptic_fused_kernel_interpret():
+    """Route a fuzz-generated elliptic model through the fused elliptic Pallas
+    kernel in interpret mode (contiguous single-condim tail), pinning the
+    kernel against the jnp elliptic primal on random states."""
+    from test_newton_pallas import _run_elliptic_parity
+
+    _, m = _build_pair(1, cone="elliptic", condim=3, impratio=1.0)
+    _run_elliptic_parity(m)

@@ -353,6 +353,13 @@ class Option:
     enableflags: int = struct.field(pytree_node=False, default=0)
     # bitmask of disabled actuator groups (<option actuatorgroupdisable>)
     disableactuator: int = struct.field(pytree_node=False, default=0)
+    # opt-in bf16 Newton Hessian assembly (large-nv clutter scenes): the
+    # J^T diag(h) J product runs with bfloat16 operands / f32 accumulation
+    # (~2x HBM traffic + MXU rate). The Hessian only steers the Newton
+    # direction — gradient, cost, and line search stay f32 — so solution
+    # accuracy is guarded by the masked improvement test. Off by default
+    # (fp32 parity suites). Set via load_model_from_file(hessian_bf16=True).
+    hessian_bf16: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

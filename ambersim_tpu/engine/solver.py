@@ -105,7 +105,7 @@ def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows, base=None, fu
     Coordinates are mu-scaled so the cone is circular (verified against the
     C oracle: cone parameter mu = mu0/sqrt(impratio), friction residuals
     y_i = jar_i * (mu_i/mu0) * sqrt(impratio), all rows weighted by the
-    normal row's D). Zones: bottom (N <= -mu*T, full quadratic), top
+    normal row's D). Zones: bottom (mu*N <= -T, full quadratic clamp), top
     (N >= mu*T, no force), middle (projection onto the cone boundary).
 
     base/full: contiguous-tail fast path (see _elliptic_meta) — slices and
@@ -133,7 +133,7 @@ def _elliptic_zone(m: Model, d: Data, jar: jax.Array, slots, rows, base=None, fu
     N = x[:, 0]
     T2 = jnp.sum(y * y, axis=-1)
     T = jnp.sqrt(jnp.maximum(T2, 1e-24))
-    bottom = N <= -mu * T
+    bottom = mu * N <= -T
     top = N >= mu * T
     middle = ~(bottom | top)
     cfac = (mu * T - N) / (1 + mu * mu)  # > 0 in the middle zone
@@ -284,7 +284,7 @@ def _total_cost(m: Model, d: Data, qacc: jax.Array, jar: jax.Array) -> jax.Array
         act = _rows_take(d.efc_active, rows, base)[:, 0]
         Dn = _rows_take(d.efc_D, rows, base)[:, 0]
         one = 1.0 + mu * mu
-        bottom = N <= -mu * T
+        bottom = mu * N <= -T
         mid = ~(bottom | (N >= mu * T))
         cfac = (mu * T - N) / one
         blk = jnp.where(bottom, 0.5 * Dn * (N * N + T2), jnp.where(mid, 0.5 * Dn * cfac * cfac * one, 0.0))
@@ -352,7 +352,7 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
             T = jnp.sqrt(T2)
             Tp = (bq + cq * t) / T
             N = N0 + t * dN
-            bottom = N <= -mu * T
+            bottom = mu * N <= -T
             top = N >= mu * T
             mid = ~(bottom | top)
             cfac = (mu * T - N) / one
@@ -379,21 +379,33 @@ def _line_search(m: Model, d: Data, qacc, jar, p, jp):
                     h = h + jnp.einsum("sc,scd,sd->", jpb, W, jpb)
             return g, h
 
-    # scalar Newton on t: unrolled when short (straight-line code fuses into
-    # few kernels), fori_loop when long (bounded compile time)
+    # Guarded scalar Newton on t with a [lo, hi] bisection bracket: phi is
+    # convex along the ray but only piecewise-smooth (cone zone crossings),
+    # and a raw Newton-on-t can 2-cycle across a zone boundary (measured on
+    # condim-4 elliptic spin states: the cycle returns a non-improving t, the
+    # masked update rejects it, and the whole solve stalls at the first
+    # iterate). phi' is monotone, so sign(g) maintains a valid bracket and
+    # the bisection fallback guarantees progress. Unrolled when short,
+    # fori_loop when long (bounded compile time).
     ls_iters = max(m.opt.ls_iterations, 1)
-    t = jnp.zeros((), qacc.dtype)
+    dtype = qacc.dtype
+
+    def ls_step(carry):
+        t, lo, hi = carry
+        g, h = phi_grad_hess(t)
+        lo = jnp.where(g < 0, jnp.maximum(lo, t), lo)
+        hi = jnp.where(g < 0, hi, jnp.minimum(hi, t))
+        tn = t - g / jnp.maximum(h, 1e-12)
+        ok = (tn > lo) & (tn < hi) & jnp.isfinite(tn)
+        return jnp.where(ok, tn, 0.5 * (lo + hi)), lo, hi
+
+    carry = (jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.asarray(4.0, dtype))
     if ls_iters <= 8:
         for _ in range(ls_iters):
-            g, h = phi_grad_hess(t)
-            t = t - g / jnp.maximum(h, 1e-12)
+            carry = ls_step(carry)
     else:
-        def ls_body(_, t):
-            g, h = phi_grad_hess(t)
-            return t - g / jnp.maximum(h, 1e-12)
-
-        t = jax.lax.fori_loop(0, ls_iters, ls_body, t)
-    return jnp.clip(t, 0.0, 4.0)
+        carry = jax.lax.fori_loop(0, ls_iters, lambda _, c: ls_step(c), carry)
+    return jnp.clip(carry[0], 0.0, 4.0)
 
 
 def solve(m: Model, d: Data) -> Data:
@@ -410,7 +422,8 @@ def solve(m: Model, d: Data) -> Data:
 
 
 def _newton_arrays_jnp(
-    J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterations, ls_iterations, use_ws
+    J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol, *, ne, nf, iterations, ls_iterations, use_ws,
+    hess_bf16=False,
 ):
     """Unbatched Newton on plain arrays (pyramidal cones only) — the primal
     of the custom_vmap dispatch and the non-TPU fallback. Mirrors the Pallas
@@ -451,7 +464,20 @@ def _newton_arrays_jnp(
         # lowers to one batched MXU matmul; the weighted 3-operand form
         # measured ~0.1 TF/s at clutter shapes (B=256, nefc=2240, nv=192)
         Jw = J * h_diag[:, None]
-        H = qM + Jw.T @ J + 1e-8 * jnp.eye(nv, dtype=dtype)
+        if hess_bf16:
+            # opt-in (Option.hessian_bf16): the J^T diag(h) J product with
+            # bf16 operands / f32 accumulation — ~2x HBM traffic + MXU rate
+            # at clutter shapes. H only steers the Newton direction; grad,
+            # cost, and line search stay f32, and the masked improvement
+            # test rejects any step a perturbed direction fails to improve.
+            JtHJ = jnp.matmul(
+                Jw.T.astype(jnp.bfloat16),
+                J.astype(jnp.bfloat16),
+                preferred_element_type=dtype,
+            )
+        else:
+            JtHJ = Jw.T @ J
+        H = qM + JtHJ + 1e-8 * jnp.eye(nv, dtype=dtype)
         p = -linalg.solve_pd(H, grad)
         jp = J @ p
 
@@ -505,20 +531,22 @@ _DISPATCH_CACHE: dict = {}
 
 
 def _newton_dispatch(
-    ne: int, nf: int, iterations: int, ls_iterations: int, use_ws: bool, skel=None
+    ne: int, nf: int, iterations: int, ls_iterations: int, use_ws: bool, skel=None,
+    hess_bf16: bool = False,
 ):
     """custom_vmap entry: per-env calls run the jnp path; vmapped calls on TPU
     collapse the whole Newton solve into one Pallas kernel per 128-env tile
     (the structured-layout kernel when the skeleton's rows factor — see
     PyramidStructure — else the dense one)."""
-    key = (ne, nf, iterations, ls_iterations, use_ws, skel)
+    key = (ne, nf, iterations, ls_iterations, use_ws, skel, hess_bf16)
     if key in _DISPATCH_CACHE:
         return _DISPATCH_CACHE[key]
 
     import functools
 
     statics = dict(
-        ne=ne, nf=nf, iterations=iterations, ls_iterations=ls_iterations, use_ws=use_ws
+        ne=ne, nf=nf, iterations=iterations, ls_iterations=ls_iterations, use_ws=use_ws,
+        hess_bf16=hess_bf16,
     )
     # jit the primal: custom_vmap + custom_vjp re-trace it on every bind
     # (4x per step graph, 3 step-class graphs in PPO), and the unrolled
@@ -572,7 +600,8 @@ def _newton_dispatch(
             elif dense_fits_vmem(J.shape[1], n):
                 from ambersim_tpu.ops.newton_pallas import newton_solve_batched
 
-                out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **statics)
+                kernel_statics = {k: v for k, v in statics.items() if k != "hess_bf16"}
+                out = newton_solve_batched(J, qM, aref, D, fl, act, a_s, ws, tol, **kernel_statics)
             else:
                 out = jax.vmap(primal, in_axes=(0,) * 10 + (None,))(
                     J, bJ, dsc, qM, aref, D, fl, act, a_s, ws, tol
@@ -631,7 +660,7 @@ def _newton_arrays_elliptic_jnp(
         y = x[:, 1:] * scale
         T2 = jnp.sum(y * y, -1)
         T = jnp.sqrt(jnp.maximum(T2, 1e-24))
-        bottom = N <= -mu * T
+        bottom = mu * N <= -T
         top = N >= mu * T
         middle = ~(bottom | top)
         cfac = (mu * T - N) / one_mu2
@@ -719,7 +748,11 @@ def _newton_arrays_elliptic_jnp(
         h_bot = jnp.sum(D_c * dxc * dxc, -1)
         jar_h, jp_h = jar[:nh], jp[:nh]
 
-        def ls_body(_, t):
+        # guarded bracketed Newton on t (see _line_search note: raw
+        # Newton-on-t 2-cycles across cone zone boundaries and stalls the
+        # solve; phi' is monotone so sign(g) maintains a valid bracket)
+        def ls_body(carry):
+            t, lo, hi = carry
             _, force_t, quad_t = head_costs(jar_h + t * jp_h)
             g = pma + t * pmp - jnp.sum(force_t * jp_h)
             hh = pmp + jnp.sum(jnp.where(quad_t, D_h * jp_h * jp_h, 0.0))
@@ -727,7 +760,7 @@ def _newton_arrays_elliptic_jnp(
             Tt = jnp.sqrt(T2t)
             Tp = (bq + cq * t) / Tt
             Nt = N0 + t * dN
-            bot_t = Nt <= -mu * Tt
+            bot_t = mu * Nt <= -Tt
             mid_t = ~(bot_t | (Nt >= mu * Tt))
             cfac_t = (mu * Tt - Nt) / one_mu2
             g_b = Dn * (Nt * dN + bq + cq * t)
@@ -737,16 +770,21 @@ def _newton_arrays_elliptic_jnp(
             )
             gb = jnp.where(bot_t, g_b, jnp.where(mid_t, g_m, 0.0)) * actN
             hb = jnp.where(bot_t, h_bot, jnp.where(mid_t, h_m, 0.0)) * actN
-            return t - (g + jnp.sum(gb)) / jnp.maximum(hh + jnp.sum(hb), 1e-12)
+            gt = g + jnp.sum(gb)
+            lo = jnp.where(gt < 0, jnp.maximum(lo, t), lo)
+            hi = jnp.where(gt < 0, hi, jnp.minimum(hi, t))
+            tn = t - gt / jnp.maximum(hh + jnp.sum(hb), 1e-12)
+            ok = (tn > lo) & (tn < hi) & jnp.isfinite(tn)
+            return jnp.where(ok, tn, 0.5 * (lo + hi)), lo, hi
 
         nls = max(ls_iterations, 1)
-        t = jnp.zeros((), dtype)
+        ls_carry = (jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.asarray(4.0, dtype))
         if nls <= 8:
             for _ls in range(nls):
-                t = ls_body(0, t)
+                ls_carry = ls_body(ls_carry)
         else:
-            t = jax.lax.fori_loop(0, nls, ls_body, t)
-        t = jnp.clip(t, 0.0, 4.0)
+            ls_carry = jax.lax.fori_loop(0, nls, lambda _, c: ls_body(c), ls_carry)
+        t = jnp.clip(ls_carry[0], 0.0, 4.0)
 
         qacc_n = qacc + t * p
         jar_n = jar + t * jp
@@ -849,7 +887,10 @@ def _solve_newton(m: Model, d: Data) -> Data:
         ls = int(max(m.opt.ls_iterations, 1))
         use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
         tol = m.opt.tolerance * s.nv * jnp.maximum(jnp.sum(m.body_mass), 1.0)
-        fn = _newton_dispatch(int(s.ne), int(s.nf), iters, ls, bool(use_ws), skel=s)
+        fn = _newton_dispatch(
+            int(s.ne), int(s.nf), iters, ls, bool(use_ws), skel=s,
+            hess_bf16=bool(m.opt.hessian_bf16),
+        )
         qacc, force, qfrc = fn(
             d.efc_J,
             d.efc_bJ,

@@ -877,7 +877,7 @@ def _elliptic_kernel(
             T2 = T2 + y[k * S : (k + 1) * S] * y[k * S : (k + 1) * S]
         T = jnp.sqrt(jnp.maximum(T2, 1e-24))
         muT = mu * T
-        bot = (N <= -muT).astype(dtype)
+        bot = (mu * N <= -T).astype(dtype)
         top = (N >= muT).astype(dtype)
         mid = (1.0 - bot) * (1.0 - top)
         cfac = (muT - N) / one_mu2
@@ -1005,7 +1005,11 @@ def _elliptic_kernel(
         if nh:
             jar_h, jp_h = jar[:nh], jp[:nh]
 
-        def ls_body(_, t):
+        # guarded bracketed Newton on t (engine/solver.py _line_search note:
+        # raw Newton-on-t 2-cycles across cone zone boundaries and stalls
+        # the solve; phi' is monotone so sign(g) maintains a valid bracket)
+        def ls_body(carry):
+            t, lo, hi = carry
             if nh:
                 force_t, h_t = head_force_quadD(jar_h + t[None, :] * jp_h)
                 g = pma + t * pmp - (force_t * jp_h).sum(axis=0)
@@ -1018,7 +1022,7 @@ def _elliptic_kernel(
             Tp = (bq + cq * t[None, :]) / Tt
             Nt = N0 + t[None, :] * dN
             muT = mu * Tt
-            bot_t = (Nt <= -muT).astype(dtype)
+            bot_t = (mu * Nt <= -Tt).astype(dtype)
             top_t = (Nt >= muT).astype(dtype)
             mid_t = (1.0 - bot_t) * (1.0 - top_t)
             cfac_t = (muT - Nt) / one_mu2
@@ -1029,16 +1033,22 @@ def _elliptic_kernel(
             )
             gb = (bot_t * g_b + mid_t * g_m) * actN
             hb = (bot_t * h_bot + mid_t * h_m) * actN
-            return t - (g + gb.sum(axis=0)) / jnp.maximum(hh + hb.sum(axis=0), 1e-12)
+            gt = g + gb.sum(axis=0)
+            neg = (gt < 0).astype(dtype)
+            lo = neg * jnp.maximum(lo, t) + (1.0 - neg) * lo
+            hi = neg * hi + (1.0 - neg) * jnp.minimum(hi, t)
+            tn = t - gt / jnp.maximum(hh + hb.sum(axis=0), 1e-12)
+            ok = ((tn > lo) & (tn < hi)).astype(dtype)
+            return ok * tn + (1.0 - ok) * 0.5 * (lo + hi), lo, hi
 
         nls = max(ls_iterations, 1)
-        t = jnp.zeros((B,), dtype)
+        ls_carry = (jnp.zeros((B,), dtype), jnp.zeros((B,), dtype), jnp.full((B,), 4.0, dtype))
         if nls <= 8:
             for _ls in range(nls):
-                t = ls_body(0, t)
+                ls_carry = ls_body(ls_carry)
         else:
-            t = jax.lax.fori_loop(0, nls, ls_body, t)
-        t = jnp.clip(t, 0.0, 4.0)
+            ls_carry = jax.lax.fori_loop(0, nls, lambda _, c: ls_body(c), ls_carry)
+        t = jnp.clip(ls_carry[0], 0.0, 4.0)
 
         qacc_n = qacc + t[None, :] * p
         jar_n = jar + t[None, :] * jp

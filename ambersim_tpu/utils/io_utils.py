@@ -26,6 +26,7 @@ def load_model_from_file(
     ls_iterations: Optional[int] = None,
     cone: Optional[str] = None,  # "pyramidal"/"elliptic"; pre-compile (layout!)
     broadphase_cap: int = 0,
+    hessian_bf16: bool = False,  # opt-in bf16 Newton Hessian assembly (see Option)
     device=None,
 ) -> Model:
     """Load a URDF or MJCF file into a compiled Model.
@@ -79,6 +80,8 @@ def load_model_from_file(
         opt_updates["iterations"] = int(iterations)
     if ls_iterations is not None:
         opt_updates["ls_iterations"] = int(ls_iterations)
+    if hessian_bf16:
+        opt_updates["hessian_bf16"] = True
     if opt_updates:
         model = model.replace(opt=model.opt.replace(**opt_updates))
     if device is not None:

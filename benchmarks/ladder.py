@@ -49,8 +49,37 @@ def _batch(model, n):
     return jax.jit(jax.vmap(lambda i: d0))(jnp.arange(n))
 
 
+_RECORDS = []  # every emitted line, written to the LADDER_rN.json artifact
+
+
 def emit(name, value, unit="env_steps/s"):
-    print(json.dumps({"metric": name, "value": round(value, 1), "unit": unit}), flush=True)
+    rec = {"metric": name, "value": round(value, 1), "unit": unit}
+    _RECORDS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def write_artifact():
+    """Check-in-able artifact: every README perf number traces to a dated
+    run (VERDICT r4 #5). Path override via LADDER_OUT."""
+    import datetime
+
+    import mujoco
+
+    out = os.environ.get("LADDER_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"LADDER_r{os.environ.get('LADDER_ROUND', '05')}.json",
+    )
+    payload = {
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "jax": jax.__version__,
+        "mujoco": mujoco.__version__,
+        "backend": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "records": _RECORDS,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"[ladder] artifact written: {out}", file=sys.stderr)
 
 
 def main():
@@ -181,19 +210,19 @@ def main():
             dt = marks[-1][0] - marks[1][0]
             steps = marks[-1][1] - marks[1][1]
             emit("humanoid_balance_1024env_ppo", steps / max(dt, 1e-9))
-            print(
-                json.dumps(
-                    {
-                        "metric": "humanoid_balance_ppo_detail",
-                        "eval_reward_final": round(float(marks[-1][2]), 2),
-                        "wall_clock_s": round(wall, 1),
-                        "train_steps": n_steps,
-                        "unit": "detail",
-                    }
-                ),
-                flush=True,
-            )
+            rec = {
+                "metric": "humanoid_balance_ppo_detail",
+                "eval_reward_final": round(float(marks[-1][2]), 2),
+                "wall_clock_s": round(wall, 1),
+                "train_steps": n_steps,
+                "unit": "detail",
+            }
+            _RECORDS.append(rec)
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        write_artifact()

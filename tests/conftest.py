@@ -100,6 +100,7 @@ _DEMOTED_TO_SLOW = (
     'test_flags.py::test_damper_disable_kills_implicit_lhs[implicitfast]',
     'test_flags.py::test_energy_flag',
     'test_flags.py::test_fwdinv_flag',
+    'test_flags.py::test_hessian_bf16_opt_in_close_to_f32',
     'test_flags.py::test_override_contact_params',
     'test_flags.py::test_override_flag_off_keeps_geom_params',
     'test_flags.py::test_spring_damper_disable_forces[damper="disable"]',

@@ -270,3 +270,32 @@ def test_fwdinv_flag():
     _, model_off = _pair(xml_off)
     d2 = jax.jit(forward)(model_off, make_data(model_off))
     np.testing.assert_array_equal(np.asarray(d2.solver_fwdinv), 0.0)
+
+
+def test_hessian_bf16_opt_in_close_to_f32():
+    """Opt-in bf16 Newton Hessian assembly (Option.hessian_bf16): the Newton
+    DIRECTION is perturbed but grad/cost/line-search stay f32, so short
+    contact-rich rollouts must track the f32 solve closely."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ambersim_tpu.engine import make_data, step
+    from ambersim_tpu.utils.io_utils import load_model_from_file
+
+    m32 = load_model_from_file("models/quadruped/quadruped.xml")
+    m16 = load_model_from_file("models/quadruped/quadruped.xml", hessian_bf16=True)
+    assert m16.opt.hessian_bf16 and not m32.opt.hessian_bf16
+    d = make_data(m32)
+    B = 4
+    db = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d)
+
+    def roll(m):
+        def f(c, _):
+            return jax.vmap(lambda dd: step(m, dd))(c), None
+
+        return jax.lax.scan(f, db, None, length=25)[0]
+
+    q32 = np.asarray(jax.jit(lambda: roll(m32))().qpos)
+    q16 = np.asarray(jax.jit(lambda: roll(m16))().qpos)
+    assert np.abs(q32 - q16).max() < 5e-3

@@ -200,13 +200,29 @@ def train(
         key, key_perm, key_grad = jax.random.split(key, 3)
         # data: (T, total_batch, ...) with total_batch = num_unrolls * num_envs
         total_batch = num_unrolls * num_envs
-        perm = jax.random.permutation(key_perm, total_batch)
+        # Shard-LOCAL permutation: a single global permutation makes every
+        # minibatch slice cross device boundaries, and GSPMD lowers the
+        # shuffle to an all-gather of the whole rollout buffer per minibatch
+        # (measured by benchmarks/multichip_audit.py — tens of MB per step at
+        # bench shapes). Permuting within each device's shard and building
+        # minibatches with equal per-shard representation keeps the gather
+        # local (envs are iid, so this is statistically equivalent — it is
+        # exactly what the reference's brax pmap design does per device).
+        S = mesh.size if (total_batch % mesh.size == 0 and batch_size % mesh.size == 0) else 1
+        L = total_batch // S
+        perms = jax.vmap(lambda k: jax.random.permutation(k, L))(
+            jax.random.split(key_perm, S)
+        )  # (S, L)
 
         def shuffle(x):
             # (T, total, ...) -> (num_minibatches, T, batch_size, ...)
-            x = jnp.take(x, perm, axis=1)
-            x = x.reshape((x.shape[0], num_minibatches, batch_size) + x.shape[2:])
-            return x.swapaxes(0, 1)
+            T = x.shape[0]
+            xs = x.reshape((T, S, L) + x.shape[2:])
+            idx = perms.reshape((1, S, L) + (1,) * (x.ndim - 2))
+            xs = jnp.take_along_axis(xs, idx, axis=2)
+            xs = xs.reshape((T, S, num_minibatches, batch_size // S) + x.shape[2:])
+            xs = jnp.moveaxis(xs, 2, 0)  # (mb, T, S, bs//S, ...)
+            return xs.reshape((num_minibatches, T, batch_size) + x.shape[2:])
 
         shuffled = jax.tree.map(shuffle, data)
         (optimizer_state, params, normalizer_params, key_grad), metrics = jax.lax.scan(
@@ -221,9 +237,19 @@ def train(
         (training_state, env_state, _), data = jax.lax.scan(
             generate_unroll, (training_state, env_state, key_unroll), None, length=num_unrolls
         )
-        # data: (num_unrolls, T, num_envs, ...) -> time-major (T, num_unrolls*num_envs, ...)
+        # data: (num_unrolls, T, num_envs, ...) -> time-major (T, num_envs*num_unrolls, ...)
+        # ENV-major merge: folding the unroll axis INSIDE the sharded env axis
+        # would interleave shards and GSPMD all-gathers the whole rollout
+        # buffer to rearrange it (measured 34.7 MB/epoch at 512 envs by
+        # benchmarks/multichip_audit.py). With envs outermost the merged axis
+        # inherits the batch sharding and the merge is local. Column order
+        # within the batch axis is immaterial downstream (each column is one
+        # unroll's trajectory; the sgd shuffle re-permutes anyway).
         data = jax.tree.map(
-            lambda x: x.swapaxes(0, 1).reshape((x.shape[1], num_unrolls * num_envs) + x.shape[3:]), data
+            lambda x: jnp.moveaxis(x, 0, 2).reshape(
+                (x.shape[1], num_envs * num_unrolls) + x.shape[3:]
+            ),
+            data,
         )
 
         normalizer_params = training_state.normalizer_params
@@ -296,6 +322,25 @@ def train(
     metrics: Dict[str, Any] = {}
     key, key_envs = jax.random.split(key)
     env_keys = jax.random.split(key_envs, num_envs)
+
+    # Audit hook (benchmarks/multichip_audit.py): compile the partitioned
+    # training epoch WITHOUT running it and dump the optimized (post-GSPMD)
+    # HLO — the collectives it contains are the multi-chip scaling evidence
+    # when real multi-chip hardware is unavailable.
+    import os as _os
+
+    _lower_out = _os.environ.get("AMBERSIM_PPO_LOWER_ONLY")
+    if _lower_out:
+        state_sds = jax.eval_shape(env.reset, env_keys)
+        state_sds = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=batch_sharding), state_sds
+        )
+        compiled = training_epoch.lower(training_state, state_sds, key).compile()
+        with open(_lower_out, "w") as f:
+            f.write(compiled.as_text())
+        return make_policy, (training_state.normalizer_params, training_state.params["policy"]), {
+            "lowered_to": _lower_out
+        }
 
     # Overlap the first-use compiles (the time-to-first-update lever,
     # VERDICT r4 #1): reset, the pre-training eval, and the epoch are three

@@ -25,13 +25,21 @@ from ambersim_tpu.engine import make_data, step
 from ambersim_tpu.utils.io_utils import load_model_from_file
 
 
-def _time_rollout(model, batch, nsteps, ctrl_fn=None):
+def _time_rollout(model, batch, nsteps, ctrl_fn=None, settle=0):
     from ambersim_tpu.engine.rollout import rollout as engine_rollout
 
     @jax.jit
     def roll(b):
         return engine_rollout(model, b, nsteps, ctrl_fn=ctrl_fn, batched=b.qpos.ndim > 1)
 
+    if settle:
+        # drop scenes spend their first few hundred steps mostly in flight;
+        # settling first makes the timed window fully contact-rich (the
+        # honest, harder workload — round 5 change, so clutter/drop numbers
+        # are not comparable with rounds <= 4)
+        batch = jax.jit(
+            lambda b: engine_rollout(model, b, settle, ctrl_fn=ctrl_fn, batched=b.qpos.ndim > 1)
+        )(batch)
     warm = roll(batch)
     float(warm.qpos.reshape(-1)[0])
     t0 = time.perf_counter()
@@ -95,13 +103,13 @@ def main():
 
     # rung 3: contact-rich drop, batch 2048
     m = load_model_from_file("models/objects/drop_scene.xml")
-    emit("drop_scene_2048env", _time_rollout(m, _batch(m, 2048), 150))
+    emit("drop_scene_2048env", _time_rollout(m, _batch(m, 2048), 150, settle=300))
 
     # rung 3a: dense-mesh rock drop — a 320-vert scanned-rock hull budgeted
     # to 64 verts at compile (maxhullvert), so SAT narrowphase cost on dense
     # meshes is measured, not just untested (VERDICT r2 #3)
     m = load_model_from_file("models/rock/rock_scene.xml")
-    emit("rock_drop_2048env", _time_rollout(m, _batch(m, 2048), 150))
+    emit("rock_drop_2048env", _time_rollout(m, _batch(m, 2048), 150, settle=300))
 
     # rung 3b: 32-object clutter (496 object-object candidate pairs) with
     # top-k broadphase vs exact all-pairs — the sublinear-stepping claim
@@ -110,10 +118,10 @@ def main():
     # below that, and at batch 1024 the Newton working set (J alone is
     # 1.8 GB) plus the chunked-linalg relayout copies exhaust HBM.
     m_cap = load_model_from_file("models/objects/clutter32.xml", broadphase_cap=48)
-    capped_256 = _time_rollout(m_cap, _batch(m_cap, 256), 100)
+    capped_256 = _time_rollout(m_cap, _batch(m_cap, 256), 100, settle=400)
     emit("clutter32_256env_broadphase_cap48", capped_256)
     m_all = load_model_from_file("models/objects/clutter32.xml")
-    exact = _time_rollout(m_all, _batch(m_all, 256), 100)
+    exact = _time_rollout(m_all, _batch(m_all, 256), 100, settle=400)
     emit("clutter32_256env_exact_allpairs", exact)
     emit("clutter32_broadphase_speedup", capped_256 / max(exact, 1e-9), unit="x")
 
@@ -132,7 +140,12 @@ def main():
     from ambersim_tpu.mjcf.parser import parse_mjcf_string as _ps
 
     m_rc = _setc(_cs(_ps(xml_cap, base_dir=_os.path.dirname(_cl)), broadphase_cap=48))
-    emit("clutter32_256env_rowcap192", _time_rollout(m_rc, _batch(m_rc, 256), 100))
+    emit("clutter32_256env_rowcap192", _time_rollout(m_rc, _batch(m_rc, 256), 100, settle=400))
+
+    # rung 3d: same, with the opt-in bf16 Newton Hessian assembly
+    # (Option.hessian_bf16; accuracy evidence in benchmarks/clutter_bf16_ab.py)
+    m_rb = m_rc.replace(opt=m_rc.opt.replace(hessian_bf16=True))
+    emit("clutter32_256env_rowcap192_bf16H", _time_rollout(m_rb, _batch(m_rb, 256), 100, settle=400))
 
     # rung 4: quadruped PD stand, batch 4096
     m = load_model_from_file("models/quadruped/quadruped.xml")

@@ -84,4 +84,9 @@ def test_cost_decrease_batched():
     xs_guess = jax.vmap(shoot, in_axes=(None, 0, 0))(m, x0s, us_guess)
     cost_guess = jax.vmap(sampler.cost_function.cost)(xs_guess, us_guess)
     cost_star = jax.vmap(sampler.cost_function.cost)(xs, us)
-    assert np.all(np.asarray(cost_star) <= np.asarray(cost_guess) + 1e-5)
+    # relative slack: the sample-0 rollout inside optimize (vmap over
+    # samples inside vmap over problems) and the direct shoot here fuse
+    # differently, so their f32 costs differ by reduction-order noise
+    # (~5e-7 relative observed); the property holds up to that noise
+    cg = np.asarray(cost_guess)
+    assert np.all(np.asarray(cost_star) <= cg + 1e-5 + 1e-5 * np.abs(cg))
